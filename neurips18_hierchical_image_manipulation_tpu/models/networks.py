@@ -1,0 +1,490 @@
+"""Network zoo — flax re-implementations of the reference's nn.Modules.
+
+Reference contract: SURVEY.md §3.2 (pix2pixHD ``models/networks.py`` lineage
+[L]; two-stream structure nets from the paper [P §3.2 + suppl.], reference
+paths tier [R] since the mount was empty).
+
+All modules are NHWC (TPU lanes = channels). Weight init matches the
+reference's ``weights_init``: conv kernels ~ N(0, 0.02); biases are zero
+(torch leaves bias at its default uniform init — a deliberate, documented
+divergence that only affects fresh-training init noise, not loaded
+checkpoints). Norm layers are InstanceNorm(affine=False) — no params.
+
+Checkpoint converters map torch (out,in,kh,kw) conv weights to our HWIO and
+torch (in,out,kh,kw) transposed-conv weights to our HWIO (see
+tools/convert_torch_checkpoint.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import nnops
+
+conv_init = nn.initializers.normal(stddev=0.02)
+zeros_init = nn.initializers.zeros
+
+
+class Conv(nn.Module):
+    """torch.nn.Conv2d twin: explicit symmetric int padding, HWIO kernel."""
+
+    features: int
+    kernel: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel",
+            conv_init,
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+        )
+        b = self.param("bias", zeros_init, (self.features,)) if self.use_bias else None
+        return nnops.conv2d(x, w, b, stride=self.stride, padding=self.padding)
+
+
+class ConvTranspose(nn.Module):
+    """torch.nn.ConvTranspose2d twin (k=3, s=2, p=1, op=1 by default — the
+    reference's only use). Kernel stored HWIO with I = input channels."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "kernel",
+            conv_init,
+            (self.kernel, self.kernel, x.shape[-1], self.features),
+        )
+        b = self.param("bias", zeros_init, (self.features,))
+        return nnops.conv_transpose2d(
+            x,
+            w,
+            b,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+        )
+
+
+def norm_act(x, norm: str = "instance", act: str = "relu"):
+    if norm == "instance":
+        x = nnops.instance_norm(x)
+    elif norm != "none":
+        raise ValueError(f"unsupported norm: {norm}")
+    if act == "relu":
+        x = nnops.relu(x)
+    elif act == "lrelu":
+        x = nnops.leaky_relu(x, 0.2)
+    elif act != "none":
+        raise ValueError(f"unsupported act: {act}")
+    return x
+
+
+class ResnetBlock(nn.Module):
+    """ReflectPad1 -> Conv3x3 -> IN -> ReLU -> ReflectPad1 -> Conv3x3 -> IN;
+    residual add. No dropout (reference default)."""
+
+    dim: int
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        h = nnops.reflect_pad(x, 1)
+        h = Conv(self.dim, 3, name="conv1")(h)
+        h = norm_act(h, self.norm, "relu")
+        h = nnops.reflect_pad(h, 1)
+        h = Conv(self.dim, 3, name="conv2")(h)
+        if self.norm == "instance":
+            h = nnops.instance_norm(h)
+        return x + h
+
+
+class GlobalGenerator(nn.Module):
+    """pix2pixHD GlobalGenerator (SURVEY §3.2): c7s1-ngf, n_downsampling
+    stride-2 convs, n_blocks resnet blocks, mirrored transposed-conv
+    upsampling, c7s1-output_nc + tanh."""
+
+    output_nc: int = 3
+    ngf: int = 64
+    n_downsampling: int = 4  # flag default --n_downsample_global 4
+    n_blocks: int = 9
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        h = nnops.reflect_pad(x, 3)
+        h = Conv(self.ngf, 7, name="conv_in")(h)
+        h = norm_act(h, self.norm)
+        for i in range(self.n_downsampling):
+            h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}")(h)
+            h = norm_act(h, self.norm)
+        for i in range(self.n_blocks):
+            h = ResnetBlock(self.ngf * 2**self.n_downsampling, self.norm, name=f"res{i}")(h)
+        for i in range(self.n_downsampling):
+            mult = 2 ** (self.n_downsampling - i)
+            h = ConvTranspose(self.ngf * mult // 2, name=f"up{i}")(h)
+            h = norm_act(h, self.norm)
+        h = nnops.reflect_pad(h, 3)
+        h = Conv(self.output_nc, 7, name="conv_out")(h)
+        return jnp.tanh(h)
+
+
+class _GlobalBackbone(nn.Module):
+    """GlobalGenerator minus its final (pad, conv7, tanh) head — the trunk
+    the LocalEnhancer builds on (pix2pixHD drops the last 3 layers)."""
+
+    ngf: int
+    n_downsampling: int
+    n_blocks: int
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        h = nnops.reflect_pad(x, 3)
+        h = Conv(self.ngf, 7, name="conv_in")(h)
+        h = norm_act(h, self.norm)
+        for i in range(self.n_downsampling):
+            h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}")(h)
+            h = norm_act(h, self.norm)
+        for i in range(self.n_blocks):
+            h = ResnetBlock(self.ngf * 2**self.n_downsampling, self.norm, name=f"res{i}")(h)
+        for i in range(self.n_downsampling):
+            mult = 2 ** (self.n_downsampling - i)
+            h = ConvTranspose(self.ngf * mult // 2, name=f"up{i}")(h)
+            h = norm_act(h, self.norm)
+        return h
+
+
+class LocalEnhancer(nn.Module):
+    """pix2pixHD LocalEnhancer: a global trunk run at 1/2**n res plus
+    n_local_enhancers coarse-to-fine local branches; branch n downsamples
+    its input, SUMS the trunk/previous output into its bottleneck, refines
+    with n_blocks_local resblocks and upsamples. Final head: c7s1-out+tanh.
+    """
+
+    output_nc: int = 3
+    ngf: int = 32
+    n_downsample_global: int = 4
+    n_blocks_global: int = 9
+    n_local_enhancers: int = 1
+    n_blocks_local: int = 3
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        # build the input pyramid: x at full res, downsampled per enhancer
+        pyramid = [x]
+        for _ in range(self.n_local_enhancers):
+            pyramid.append(nnops.avg_pool_3x3s2(pyramid[-1]))
+
+        ngf_global = self.ngf * (2**self.n_local_enhancers)
+        out = _GlobalBackbone(
+            ngf_global,
+            self.n_downsample_global,
+            self.n_blocks_global,
+            self.norm,
+            name="global",
+        )(pyramid[-1])
+
+        for n in range(1, self.n_local_enhancers + 1):
+            ngf_n = self.ngf * (2 ** (self.n_local_enhancers - n))
+            inp = pyramid[self.n_local_enhancers - n]
+            h = nnops.reflect_pad(inp, 3)
+            h = Conv(ngf_n, 7, name=f"local{n}_conv_in")(h)
+            h = norm_act(h, self.norm)
+            h = Conv(ngf_n * 2, 3, stride=2, padding=1, name=f"local{n}_down")(h)
+            h = norm_act(h, self.norm)
+            h = h + out  # fuse trunk features
+            for i in range(self.n_blocks_local):
+                h = ResnetBlock(ngf_n * 2, self.norm, name=f"local{n}_res{i}")(h)
+            h = ConvTranspose(ngf_n, name=f"local{n}_up")(h)
+            h = norm_act(h, self.norm)
+            out = h
+
+        out = nnops.reflect_pad(out, 3)
+        out = Conv(self.output_nc, 7, name="conv_out")(out)
+        return jnp.tanh(out)
+
+
+class NLayerDiscriminator(nn.Module):
+    """PatchGAN (SURVEY §3.2): Conv4x4 s2 -> LReLU, then (n_layers-1)
+    Conv4x4 s2 + IN + LReLU doubling channels (cap 512), one Conv4x4 s1 +
+    IN + LReLU, final Conv4x4 s1 -> 1 logit map (no sigmoid under LSGAN).
+    Returns the list of intermediate features when get_interm_feat (for the
+    feature-matching loss); otherwise just the final logits."""
+
+    ndf: int = 64
+    n_layers: int = 3
+    get_interm_feat: bool = True
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        padw = 2  # ceil((4-1)/2) — pix2pixHD convention
+        feats = []
+        h = Conv(self.ndf, 4, stride=2, padding=padw, name="layer0")(x)
+        h = nnops.leaky_relu(h, 0.2)
+        feats.append(h)
+        nf = self.ndf
+        for n in range(1, self.n_layers):
+            nf = min(nf * 2, 512)
+            h = Conv(nf, 4, stride=2, padding=padw, name=f"layer{n}")(h)
+            h = norm_act(h, self.norm, "lrelu")
+            feats.append(h)
+        nf = min(nf * 2, 512)
+        h = Conv(nf, 4, stride=1, padding=padw, name=f"layer{self.n_layers}")(h)
+        h = norm_act(h, self.norm, "lrelu")
+        feats.append(h)
+        h = Conv(1, 4, stride=1, padding=padw, name=f"layer{self.n_layers + 1}")(h)
+        feats.append(h)
+        if self.get_interm_feat:
+            return feats
+        return [h]
+
+
+class MultiscaleDiscriminator(nn.Module):
+    """num_D PatchGANs on an AvgPool(3,2,1,count_include_pad=False) image
+    pyramid. Output: list over scales (index 0 = full resolution) of lists
+    of per-layer features (last element = logits)."""
+
+    ndf: int = 64
+    n_layers: int = 3
+    num_D: int = 2
+    get_interm_feat: bool = True
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, x):
+        results = []
+        inp = x
+        for i in range(self.num_D):
+            d = NLayerDiscriminator(
+                self.ndf,
+                self.n_layers,
+                self.get_interm_feat,
+                self.norm,
+                name=f"scale{i}",
+            )
+            results.append(d(inp))
+            if i != self.num_D - 1:
+                inp = nnops.avg_pool_3x3s2(inp)
+        return results
+
+
+class Encoder(nn.Module):
+    """pix2pixHD instance-feature Encoder (SURVEY §3.2): conv encoder-decoder
+    producing feat_num maps, then instance-wise average pooling over the
+    instance map so every instance region carries one feature vector.
+
+    Raw Cityscapes instance ids (class*1000+k) are remapped to a static
+    segment space of size ``max_segments`` (class * slots + k % slots) —
+    the jit-able equivalent of torch's dynamic ``inst.unique()`` loop;
+    collisions only above ``slots`` instances of one class per image
+    (documented divergence)."""
+
+    feat_num: int = 3
+    nef: int = 16
+    n_downsampling: int = 4
+    norm: str = "instance"
+    label_nc: int = 35
+    instance_slots: int = 64
+
+    @nn.compact
+    def __call__(self, img, inst):
+        h = nnops.reflect_pad(img, 3)
+        h = Conv(self.nef, 7, name="conv_in")(h)
+        h = norm_act(h, self.norm)
+        for i in range(self.n_downsampling):
+            h = Conv(self.nef * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}")(h)
+            h = norm_act(h, self.norm)
+        for i in range(self.n_downsampling):
+            mult = 2 ** (self.n_downsampling - i)
+            h = ConvTranspose(self.nef * mult // 2, name=f"up{i}")(h)
+            h = norm_act(h, self.norm)
+        h = nnops.reflect_pad(h, 3)
+        h = Conv(self.feat_num, 7, name="conv_out")(h)
+        h = jnp.tanh(h)
+        ids = inst.astype(jnp.int32)
+        seg = (ids // 1000) * self.instance_slots + (ids % 1000) % self.instance_slots
+        seg = jnp.clip(seg, 0, self.label_nc * self.instance_slots - 1)
+        return nnops.segment_mean_2d(h, seg, self.label_nc * self.instance_slots)
+
+
+class Vgg19Features(nn.Module):
+    """VGG19 feature taps at relu1_1/2_1/3_1/4_1/5_1 (torchvision feature
+    indices 0-1 / 2-6 / 7-11 / 12-20 / 21-29 — SURVEY §8 "VGG19 weights").
+
+    Implemented from the public architecture; pretrained weights are
+    injected through ``tools/load_vgg_weights.py`` (safetensors/npz seam) —
+    tests pass with random init. NOTE the reference feeds [-1,1] images
+    directly (no ImageNet normalization) — preserved here.
+    """
+
+    # conv widths per block; taps happen after the first ReLU of each block
+    cfg: Sequence[Sequence[int]] = (
+        (64, 64),
+        (128, 128),
+        (256, 256, 256, 256),
+        (512, 512, 512, 512),
+        (512, 512, 512, 512),
+    )
+
+    @nn.compact
+    def __call__(self, x):
+        taps = []
+        h = x
+        for b, widths in enumerate(self.cfg):
+            if b > 0:
+                h = nnops.max_pool_2x2(h)
+            for c, width in enumerate(widths):
+                h = Conv(width, 3, padding=1, name=f"conv{b + 1}_{c + 1}")(h)
+                h = nnops.relu(h)
+                if c == 0:
+                    taps.append(h)
+        return taps
+
+
+# ---------------------------------------------------------------------------
+# Two-stream structure generator (box2mask) — paper §3.2 [P], repo tier [R]
+# ---------------------------------------------------------------------------
+
+
+class TwoStreamStructureGenerator(nn.Module):
+    """Structure generator: shared conv encoder over (masked one-hot layout
+    ⊕ box-mask channel), class conditioning (tiled one-hot class vector
+    concatenated at the bottleneck), resnet bottleneck, and TWO
+    skip-connected decoder streams:
+
+      * object stream  -> 1-channel object-mask logit (sigmoid)
+      * context stream -> label_nc-channel layout logits (softmax)
+
+    ``merge``: inside the (soft) object mask the layout becomes class ``c``;
+    outside, the context stream's prediction — producing the completed
+    semantic layout for the crop (SURVEY §3.2 "Structure generator").
+    """
+
+    label_nc: int = 35
+    ngf: int = 64
+    n_downsampling: int = 3
+    n_blocks: int = 4
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, masked_layout, boxmask, class_onehot):
+        """masked_layout: (B,H,W,label_nc); boxmask: (B,H,W,1);
+        class_onehot: (B,label_nc). Returns (layout_logits, mask_logit,
+        merged_probs)."""
+        x = jnp.concatenate([masked_layout, boxmask], axis=-1)
+        h = nnops.reflect_pad(x, 3)
+        h = Conv(self.ngf, 7, name="enc_in")(h)
+        h = norm_act(h, self.norm)
+        skips = []
+        for i in range(self.n_downsampling):
+            skips.append(h)
+            h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"enc_down{i}")(h)
+            h = norm_act(h, self.norm)
+
+        # class conditioning at the bottleneck: tile one-hot class over space
+        b, hh, ww, _ = h.shape
+        cls = jnp.broadcast_to(
+            class_onehot[:, None, None, :], (b, hh, ww, class_onehot.shape[-1])
+        )
+        h = Conv(self.ngf * 2**self.n_downsampling, 1, name="cls_fuse")(
+            jnp.concatenate([h, cls], axis=-1)
+        )
+        h = norm_act(h, self.norm)
+        for i in range(self.n_blocks):
+            h = ResnetBlock(self.ngf * 2**self.n_downsampling, self.norm, name=f"res{i}")(h)
+
+        def decoder(tag, out_nc, h):
+            for i in range(self.n_downsampling):
+                mult = 2 ** (self.n_downsampling - i)
+                h = ConvTranspose(self.ngf * mult // 2, name=f"{tag}_up{i}")(h)
+                h = norm_act(h, self.norm)
+                h = h + skips[self.n_downsampling - 1 - i]  # U-Net skip (add)
+            h = nnops.reflect_pad(h, 3)
+            return Conv(out_nc, 7, name=f"{tag}_out")(h)
+
+        layout_logits = decoder("ctx", self.label_nc, h)
+        mask_logit = decoder("obj", 1, h)
+
+        obj_mask = jnp.clip(nn.sigmoid(mask_logit) * boxmask, 0.0, 1.0)
+        ctx_probs = nn.softmax(layout_logits, axis=-1)
+        cls_map = jnp.broadcast_to(
+            class_onehot[:, None, None, :], ctx_probs.shape
+        )
+        merged = ctx_probs * (1.0 - obj_mask) + cls_map * obj_mask
+        return layout_logits, mask_logit, merged
+
+
+class LayoutDiscriminator(nn.Module):
+    """Conditional layout discriminator for box2mask [P]: a PatchGAN over
+    (layout one-hot ⊕ tiled class one-hot ⊕ box mask)."""
+
+    ndf: int = 64
+    n_layers: int = 3
+    get_interm_feat: bool = True
+    norm: str = "instance"
+
+    @nn.compact
+    def __call__(self, layout, boxmask, class_onehot):
+        b, h, w, _ = layout.shape
+        cls = jnp.broadcast_to(
+            class_onehot[:, None, None, :], (b, h, w, class_onehot.shape[-1])
+        )
+        x = jnp.concatenate([layout, cls, boxmask], axis=-1)
+        return NLayerDiscriminator(
+            self.ndf, self.n_layers, self.get_interm_feat, self.norm, name="d"
+        )(x)
+
+
+def define_G(opt) -> Any:
+    """Factory mirroring the reference's ``define_G`` (C15). opt is a
+    MaskToImageOptions / BoxToMaskOptions dataclass (configs/options.py)."""
+    if opt.netG == "global":
+        return GlobalGenerator(
+            output_nc=opt.output_nc,
+            ngf=opt.ngf,
+            n_downsampling=opt.n_downsample_global,
+            n_blocks=opt.n_blocks_global,
+            norm=opt.norm,
+        )
+    if opt.netG == "local":
+        return LocalEnhancer(
+            output_nc=opt.output_nc,
+            ngf=opt.ngf,
+            n_downsample_global=opt.n_downsample_global,
+            n_blocks_global=opt.n_blocks_global,
+            n_local_enhancers=opt.n_local_enhancers,
+            n_blocks_local=opt.n_blocks_local,
+            norm=opt.norm,
+        )
+    if opt.netG == "twostream":
+        return TwoStreamStructureGenerator(
+            label_nc=opt.label_nc,
+            ngf=opt.ngf,
+            n_downsampling=opt.n_downsample_global,
+            n_blocks=opt.n_blocks_global,
+            norm=opt.norm,
+        )
+    raise ValueError(f"unknown netG: {opt.netG}")
+
+
+def define_D(opt) -> MultiscaleDiscriminator:
+    return MultiscaleDiscriminator(
+        ndf=opt.ndf,
+        n_layers=opt.n_layers_D,
+        num_D=opt.num_D,
+        get_interm_feat=not opt.no_ganFeat_loss,
+        norm=opt.norm,
+    )

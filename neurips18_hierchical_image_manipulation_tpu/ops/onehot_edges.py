@@ -1,0 +1,58 @@
+"""Fused on-device preprocessing: one-hot label maps + instance edge maps.
+
+Reference behavior (SURVEY.md §3.2 ``encode_input`` hot path, pix2pixHD
+``models/pix2pixHD_model.py`` lineage):
+
+  * label ids (B,1,H,W float) -> ``zeros(B, label_nc, H, W).scatter_(1,
+    label.long(), 1.0)``
+  * edge map from instance ids: a pixel is an edge if it differs from any
+    4-neighbour — computed as four shifted != comparisons OR-ed together,
+    float-cast, concatenated as one extra input channel (skipped under
+    ``--no_instance``).
+
+Here both run on-device inside the jitted train step (BASELINE.json:5 —
+"preprocessing hot path fuses into the jitted XLA graph"), NHWC.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def one_hot_label(label_ids, label_nc, dtype=jnp.float32):
+    """(B,H,W) int ids -> (B,H,W,label_nc) one-hot. Matches torch scatter_
+    semantics for in-range ids; out-of-range ids produce all-zero rows
+    (torch would error — we clip-free encode, documented divergence)."""
+    ids = label_ids.astype(jnp.int32)
+    nc_range = jnp.arange(label_nc, dtype=jnp.int32)
+    return (ids[..., None] == nc_range).astype(dtype)
+
+
+def instance_edges(inst, dtype=jnp.float32):
+    """(B,H,W) instance-id map -> (B,H,W,1) binary edge map.
+
+    Exactly reproduces pix2pixHD ``get_edges``: edge[:, 1:] |= inst[:, 1:]
+    != inst[:, :-1] in all four shift directions (so both pixels adjacent
+    to a boundary are marked), borders stay zero-extended.
+    """
+    inst = inst.astype(jnp.int32)
+    e = jnp.zeros(inst.shape, dtype=jnp.bool_)
+    # horizontal neighbours (W axis)
+    dif_w = inst[:, :, 1:] != inst[:, :, :-1]
+    e = e.at[:, :, 1:].set(e[:, :, 1:] | dif_w)
+    e = e.at[:, :, :-1].set(e[:, :, :-1] | dif_w)
+    # vertical neighbours (H axis)
+    dif_h = inst[:, 1:, :] != inst[:, :-1, :]
+    e = e.at[:, 1:, :].set(e[:, 1:, :] | dif_h)
+    e = e.at[:, :-1, :].set(e[:, :-1, :] | dif_h)
+    return e.astype(dtype)[..., None]
+
+
+def encode_input(label_ids, inst=None, label_nc=35, dtype=jnp.float32):
+    """Fused encode_input: one-hot [+ edge channel]. Returns (B,H,W,C)
+    with C = label_nc (+1 when inst given) — the generator/discriminator
+    conditioning tensor."""
+    x = one_hot_label(label_ids, label_nc, dtype)
+    if inst is not None:
+        x = jnp.concatenate([x, instance_edges(inst, dtype)], axis=-1)
+    return x

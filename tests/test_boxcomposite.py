@@ -1,0 +1,71 @@
+"""Tests for the jit-fusable bbox crop/resize/paste compositing ops."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from neurips18_hierchical_image_manipulation_tpu import ops
+
+
+def test_crop_resize_identity(rng):
+    img = rng.randn(1, 16, 16, 3).astype(np.float32)
+    boxes = jnp.asarray([[0.0, 0.0, 16.0, 16.0]])
+    out = ops.crop_resize(jnp.asarray(img), boxes, (16, 16), method="bilinear")
+    np.testing.assert_allclose(np.asarray(out), img, atol=1e-5)
+
+
+def test_crop_resize_nearest_exact_crop(rng):
+    img = rng.randint(0, 35, size=(1, 16, 16, 1)).astype(np.float32)
+    boxes = jnp.asarray([[4.0, 6.0, 8.0, 8.0]])
+    out = ops.crop_resize(jnp.asarray(img), boxes, (8, 8), method="nearest")
+    np.testing.assert_array_equal(np.asarray(out)[0], img[0, 4:12, 6:14])
+
+
+def test_crop_resize_upscale_matches_jax_image(rng):
+    import jax
+
+    img = rng.randn(1, 8, 8, 2).astype(np.float32)
+    boxes = jnp.asarray([[0.0, 0.0, 8.0, 8.0]])
+    out = ops.crop_resize(jnp.asarray(img), boxes, (16, 16), method="bilinear")
+    ref = jax.image.resize(jnp.asarray(img), (1, 16, 16, 2), method="bilinear")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_box_mask_and_mask_box():
+    boxes = jnp.asarray([[2.0, 3.0, 4.0, 5.0]])
+    m = np.asarray(ops.box_mask(boxes, (10, 12)))[0, :, :, 0]
+    assert m.sum() == 4 * 5
+    assert m[2, 3] == 1 and m[5, 7] == 1 and m[6, 3] == 0 and m[2, 8] == 0
+
+    img = jnp.ones((1, 10, 12, 3))
+    masked = np.asarray(ops.mask_box(img, boxes, fill=-1.0))
+    assert masked[0, 2, 3, 0] == -1.0 and masked[0, 0, 0, 0] == 1.0
+
+
+def test_paste_resize_roundtrip(rng):
+    """Crop a box then paste it back at same size -> region reconstructed."""
+    img = rng.randn(1, 32, 32, 3).astype(np.float32)
+    boxes = jnp.asarray([[8.0, 4.0, 8.0, 8.0]])
+    patch = ops.crop_resize(jnp.asarray(img), boxes, (8, 8), method="bilinear")
+    canvas = jnp.zeros_like(jnp.asarray(img))
+    out = np.asarray(ops.paste_resize(canvas, patch, boxes, method="bilinear"))
+    np.testing.assert_allclose(out[0, 8:16, 4:12], img[0, 8:16, 4:12], atol=1e-4)
+    assert np.all(out[0, :8] == 0)
+
+
+def test_paste_resize_nearest_upscale():
+    patch = jnp.arange(4.0).reshape(1, 2, 2, 1)
+    canvas = jnp.full((1, 8, 8, 1), -1.0)
+    boxes = jnp.asarray([[0.0, 0.0, 4.0, 4.0]])
+    out = np.asarray(ops.paste_resize(canvas, patch, boxes, method="nearest"))
+    np.testing.assert_array_equal(out[0, :2, :2, 0], np.zeros((2, 2)))
+    np.testing.assert_array_equal(out[0, 2:4, 2:4, 0], np.full((2, 2), 3.0))
+    assert np.all(out[0, 4:] == -1.0)
+
+
+def test_expand_to_context_window():
+    boxes = jnp.asarray([[10.0, 10.0, 10.0, 20.0], [0.0, 0.0, 4.0, 4.0]])
+    win = np.asarray(ops.expand_to_context_window(boxes, (64, 128), 2.0, 32))
+    # first: max side 20 * 2 = 40 -> 40x40 window centered at (15, 20)
+    np.testing.assert_allclose(win[0], [0.0, 0.0, 40.0, 40.0])
+    # second: min_size 32 clamps, clipped into image
+    np.testing.assert_allclose(win[1], [0.0, 0.0, 32.0, 32.0])

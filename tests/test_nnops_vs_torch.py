@@ -1,0 +1,134 @@
+"""Golden-value tests: ops/nnops primitives vs the CPU-torch oracle.
+
+fp32 "bit-comparable" bar from BASELINE.json:5 — realized as a tight ulp
+band vs torch 2.x CPU (SURVEY.md §8 Hard parts): atol 1e-5 absolute /
+relative on unit-scale inputs.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from neurips18_hierchical_image_manipulation_tpu import ops
+
+
+def nhwc(t):
+    return np.transpose(t, (0, 2, 3, 1))
+
+
+def nchw(a):
+    return np.transpose(np.asarray(a), (0, 3, 1, 2))
+
+
+@pytest.mark.parametrize("stride,padding,k", [(1, 0, 1), (1, 1, 3), (2, 1, 3), (1, 3, 7), (2, 1, 4), (1, 2, 4)])
+def test_conv2d(rng, stride, padding, k):
+    x = rng.randn(2, 5, 12, 16).astype(np.float32)  # NCHW for torch
+    w = rng.randn(7, 5, k, k).astype(np.float32) * 0.1
+    b = rng.randn(7).astype(np.float32)
+    ref = F.conv2d(torch.from_numpy(x), torch.from_numpy(w), torch.from_numpy(b),
+                   stride=stride, padding=padding).numpy()
+    got = ops.conv2d(
+        jnp.asarray(nhwc(x)),
+        jnp.asarray(np.transpose(w, (2, 3, 1, 0))),  # OIHW -> HWIO
+        jnp.asarray(b),
+        stride=stride,
+        padding=padding,
+    )
+    np.testing.assert_allclose(nchw(got), ref, atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("stride,padding,outpad,k", [(2, 1, 1, 3), (2, 0, 0, 2), (1, 1, 0, 3), (2, 1, 0, 4)])
+def test_conv_transpose2d(rng, stride, padding, outpad, k):
+    x = rng.randn(2, 6, 9, 11).astype(np.float32)
+    w = rng.randn(6, 4, k, k).astype(np.float32) * 0.1  # torch: (in, out, kh, kw)
+    b = rng.randn(4).astype(np.float32)
+    ref = F.conv_transpose2d(torch.from_numpy(x), torch.from_numpy(w),
+                             torch.from_numpy(b), stride=stride,
+                             padding=padding, output_padding=outpad).numpy()
+    got = ops.conv_transpose2d(
+        jnp.asarray(nhwc(x)),
+        jnp.asarray(np.transpose(w, (2, 3, 0, 1))),  # IOHW -> HWIO
+        jnp.asarray(b),
+        stride=stride,
+        padding=padding,
+        output_padding=outpad,
+    )
+    assert nchw(got).shape == ref.shape
+    np.testing.assert_allclose(nchw(got), ref, atol=2e-5, rtol=2e-5)
+
+
+def test_instance_norm(rng):
+    x = rng.randn(3, 8, 10, 14).astype(np.float32) * 3 + 1
+    ref = F.instance_norm(torch.from_numpy(x), eps=1e-5).numpy()
+    got = ops.instance_norm(jnp.asarray(nhwc(x)))
+    np.testing.assert_allclose(nchw(got), ref, atol=1e-5, rtol=1e-5)
+
+
+def test_reflect_pad(rng):
+    x = rng.randn(2, 3, 8, 9).astype(np.float32)
+    ref = F.pad(torch.from_numpy(x), (3, 3, 3, 3), mode="reflect").numpy()
+    got = ops.reflect_pad(jnp.asarray(nhwc(x)), 3)
+    np.testing.assert_allclose(nchw(got), ref, atol=0, rtol=0)
+
+
+def test_avg_pool_3x3s2(rng):
+    x = rng.randn(2, 4, 17, 23).astype(np.float32)
+    ref = F.avg_pool2d(torch.from_numpy(x), 3, stride=2, padding=1,
+                       count_include_pad=False).numpy()
+    got = ops.avg_pool_3x3s2(jnp.asarray(nhwc(x)))
+    np.testing.assert_allclose(nchw(got), ref, atol=1e-6, rtol=1e-6)
+
+
+def test_max_pool_2x2(rng):
+    x = rng.randn(2, 4, 16, 20).astype(np.float32)
+    ref = F.max_pool2d(torch.from_numpy(x), 2, 2).numpy()
+    got = ops.max_pool_2x2(jnp.asarray(nhwc(x)))
+    np.testing.assert_allclose(nchw(got), ref, atol=0, rtol=0)
+
+
+def test_leaky_relu(rng):
+    x = rng.randn(2, 3, 4, 5).astype(np.float32)
+    ref = F.leaky_relu(torch.from_numpy(x), 0.2).numpy()
+    got = ops.leaky_relu(jnp.asarray(nhwc(x)), 0.2)
+    np.testing.assert_allclose(nchw(got), ref, atol=0, rtol=0)
+
+
+def test_upsample_nearest_2x(rng):
+    x = rng.randn(2, 3, 5, 7).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), scale_factor=2, mode="nearest").numpy()
+    got = ops.upsample_nearest_2x(jnp.asarray(nhwc(x)))
+    np.testing.assert_allclose(nchw(got), ref, atol=0, rtol=0)
+
+
+def test_one_hot_and_edges(rng):
+    label = rng.randint(0, 35, size=(2, 6, 7))
+    oh = ops.one_hot_label(jnp.asarray(label), 35)
+    # torch scatter_ oracle
+    t = torch.zeros(2, 35, 6, 7)
+    t.scatter_(1, torch.from_numpy(label[:, None]).long(), 1.0)
+    np.testing.assert_array_equal(nchw(oh), t.numpy())
+
+    inst = rng.randint(0, 4, size=(2, 6, 7))
+    edges = np.asarray(ops.instance_edges(jnp.asarray(inst)))[..., 0]
+    # oracle: pix2pixHD get_edges
+    ti = torch.from_numpy(inst)
+    e = torch.zeros_like(ti, dtype=torch.bool)
+    e[:, :, 1:] |= ti[:, :, 1:] != ti[:, :, :-1]
+    e[:, :, :-1] |= ti[:, :, 1:] != ti[:, :, :-1]
+    e[:, 1:, :] |= ti[:, 1:, :] != ti[:, :-1, :]
+    e[:, :-1, :] |= ti[:, 1:, :] != ti[:, :-1, :]
+    np.testing.assert_array_equal(edges, e.float().numpy())
+
+
+def test_segment_mean(rng):
+    feat = rng.randn(1, 4, 4, 3).astype(np.float32)
+    seg = rng.randint(0, 5, size=(1, 4, 4))
+    out = np.asarray(ops.segment_mean_2d(jnp.asarray(feat), jnp.asarray(seg), 8))
+    for s in np.unique(seg):
+        m = seg[0] == s
+        want = feat[0][m].mean(axis=0)
+        np.testing.assert_allclose(out[0][m], np.broadcast_to(want, out[0][m].shape),
+                                   atol=1e-5, rtol=1e-5)
