@@ -1,0 +1,225 @@
+"""Config layer — dataclasses mirroring the reference's argparse flags 1:1.
+
+Reference contract: SURVEY.md §3.3 (options/base_options.py ->
+train_options.py / test_options.py [L], box2mask variant [R]). Flag names
+are preserved verbatim so reference run commands translate mechanically;
+``parse()`` builds the checkpoint dir and dumps ``opt.txt`` exactly like
+``BaseOptions.parse`` does (observable behavior per SURVEY §3.3), plus a
+machine-readable ``config.json``.
+
+TPU-specific additions (documented divergences, all with safe defaults):
+  --dtype {float32,bfloat16}   compute dtype for the training path
+  --no_pallas                  disable Pallas kernels (lax fallback)
+  --mesh_devices               #devices in the 1-D data mesh (0 = all)
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class BaseOptions:
+    # experiment
+    name: str = "label2city"
+    gpu_ids: str = "0"  # accepted for CLI compat; TPU mesh is used instead
+    checkpoints_dir: str = "./checkpoints"
+    model: str = "pix2pixHD"
+    norm: str = "instance"
+    use_dropout: bool = False
+    data_type: int = 32
+    verbose: bool = False
+
+    # input/output sizes
+    batchSize: int = 1
+    loadSize: int = 1024
+    fineSize: int = 512
+    label_nc: int = 35
+    input_nc: int = 3
+    output_nc: int = 3
+
+    # data
+    dataroot: str = "./datasets/cityscapes/"
+    resize_or_crop: str = "scale_width"
+    serial_batches: bool = False
+    no_flip: bool = False
+    nThreads: int = 2
+    max_dataset_size: int = 2**31 - 1
+
+    # display
+    display_winsize: int = 512
+    tf_log: bool = False
+
+    # generator
+    netG: str = "global"
+    ngf: int = 64
+    n_downsample_global: int = 4
+    n_blocks_global: int = 9
+    n_local_enhancers: int = 1
+    n_blocks_local: int = 3
+    niter_fix_global: int = 0
+
+    # instance-feature encoder
+    no_instance: bool = False
+    instance_feat: bool = False
+    label_feat: bool = False
+    feat_num: int = 3
+    load_features: bool = False
+    n_downsample_E: int = 4
+    nef: int = 16
+    n_clusters: int = 10
+
+    # TPU-native extensions
+    dtype: str = "float32"
+    no_pallas: bool = False
+    mesh_devices: int = 0  # 0 = use every local device
+    seed: int = 0
+
+    isTrain: bool = field(default=False, init=False)
+
+    def parse(self, save=True):
+        """Mirror BaseOptions.parse(): create {checkpoints_dir}/{name}, dump
+        opt.txt (+config.json)."""
+        expr_dir = os.path.join(self.checkpoints_dir, self.name)
+        os.makedirs(expr_dir, exist_ok=True)
+        if save:
+            args = dataclasses.asdict(self)
+            with open(os.path.join(expr_dir, "opt.txt"), "w") as f:
+                f.write("------------ Options -------------\n")
+                for k in sorted(args):
+                    f.write(f"{k}: {args[k]}\n")
+                f.write("-------------- End ----------------\n")
+            with open(os.path.join(expr_dir, "config.json"), "w") as f:
+                json.dump(args, f, indent=2, default=str)
+        return self
+
+
+@dataclass
+class TrainOptions(BaseOptions):
+    # frequencies
+    display_freq: int = 100
+    print_freq: int = 100
+    save_latest_freq: int = 1000
+    save_epoch_freq: int = 10
+    no_html: bool = False
+    debug: bool = False
+
+    # resume
+    continue_train: bool = False
+    load_pretrain: str = ""
+    which_epoch: str = "latest"
+    phase: str = "train"
+
+    # schedule (reference: constant lr for niter epochs then linear decay)
+    niter: int = 100
+    niter_decay: int = 100
+    beta1: float = 0.5
+    lr: float = 0.0002
+
+    # losses
+    lambda_feat: float = 10.0
+    no_ganFeat_loss: bool = False
+    no_vgg_loss: bool = False
+    no_lsgan: bool = False
+
+    # discriminators
+    num_D: int = 2
+    n_layers_D: int = 3
+    ndf: int = 64
+    pool_size: int = 0
+
+    def __post_init__(self):
+        self.isTrain = True
+
+
+@dataclass
+class TestOptions(BaseOptions):
+    ntest: int = 2**31 - 1
+    results_dir: str = "./results/"
+    aspect_ratio: float = 1.0
+    phase: str = "test"
+    which_epoch: str = "latest"
+    how_many: int = 50
+    cluster_path: str = "features_clustered_010.npy"
+    use_encoded_image: bool = False
+
+    def __post_init__(self):
+        self.isTrain = False
+
+
+@dataclass
+class BoxToMaskTrainOptions(TrainOptions):
+    """Structure-generator (box2mask) flags — repo-specific tier [R],
+    behavior from the paper [P §3.2] (SURVEY.md C4): context-window and
+    class-conditioning config for the bbox-conditioned layout inpainter."""
+
+    model: str = "box2mask"
+    netG: str = "twostream"
+    # context-window crop fed to the structure generator (square, fixed —
+    # the jit-static replacement for the reference's dynamic crops)
+    fineSize: int = 128
+    contextMargin: float = 2.0  # context window = margin x object box
+    min_box_size: int = 16  # ignore smaller objects
+    max_box_size: int = 10_000
+    n_downsample_global: int = 3
+    n_blocks_global: int = 4
+    lambda_recon: float = 10.0  # per-pixel CE weight
+    no_vgg_loss: bool = True  # layout stage has no VGG term
+    no_instance: bool = True
+    objReconLoss: str = "bce"  # object-mask stream loss (bce per paper)
+    num_D: int = 1
+
+
+@dataclass
+class BoxToMaskTestOptions(TestOptions):
+    model: str = "box2mask"
+    netG: str = "twostream"
+    fineSize: int = 128
+    contextMargin: float = 2.0
+    min_box_size: int = 16
+    max_box_size: int = 10_000
+    no_instance: bool = True
+
+
+@dataclass
+class MaskToImageTrainOptions(TrainOptions):
+    """mask2image: pix2pixHD conditioned additionally on the masked RGB
+    image so the generator inpaints the box region (SURVEY §1.2)."""
+
+    model: str = "pix2pixHD"
+    use_masked_image: bool = True
+
+
+@dataclass
+class MaskToImageTestOptions(TestOptions):
+    model: str = "pix2pixHD"
+    use_masked_image: bool = True
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+    for f in dataclasses.fields(cls):
+        if not f.init:
+            continue
+        default = f.default if f.default is not dataclasses.MISSING else None
+        if f.type in ("bool", bool) or isinstance(default, bool):
+            parser.add_argument(f"--{f.name}", action="store_true", default=default)
+        else:
+            typ = type(default) if default is not None else str
+            parser.add_argument(f"--{f.name}", type=typ, default=default)
+
+
+def parse_cli(cls, argv: Optional[List[str]] = None):
+    """argparse front-end over a dataclass config — gives the reference's
+    ``python train.py --name x --batchSize 4 ...`` CLI surface."""
+    parser = argparse.ArgumentParser(
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter
+    )
+    _add_dataclass_args(parser, cls)
+    ns, _unknown = parser.parse_known_args(argv)
+    opt = cls(**{k: v for k, v in vars(ns).items() if v is not None})
+    return opt.parse()
