@@ -1,0 +1,124 @@
+"""box2mask model wiring — the structure-generator stage (SURVEY.md C14).
+
+Two-stream encoder-decoder inpaints the semantic layout inside a user box
+[P §3.2]: object stream -> sigmoid object mask for class c, context stream
+-> softmax layout; merged = context overwritten by class c inside the mask.
+Losses: per-pixel CE reconstruction (merged vs GT layout crop) + BCE on the
+object stream inside the box + conditional adversarial from a layout
+discriminator over (layout, class, box mask).
+
+Batches are fixed-size context-window crops (jit-static) produced by
+``data/bbox.py``:
+  masked_layout (B,S,S) int ids with the box interior set to the ignore id,
+  gt_layout (B,S,S) int ids, boxmask (B,S,S,1) in-window object box,
+  cls (B,) int class id, gt_objmask (B,S,S,1) binary GT object mask.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..losses import (
+    discriminator_loss,
+    gan_loss,
+    layout_ce_loss,
+    object_mask_loss,
+)
+from ..ops import onehot_edges
+from . import networks
+
+
+def _sg_tree(tree):
+    return jax.tree.map(lax.stop_gradient, tree)
+
+
+@dataclass
+class BoxToMaskModel:
+    opt: Any
+    netG: Any = None
+    netD: Any = None
+
+    def __post_init__(self):
+        if self.netG is None:
+            self.netG = networks.TwoStreamStructureGenerator(
+                label_nc=self.opt.label_nc,
+                ngf=self.opt.ngf,
+                n_downsampling=self.opt.n_downsample_global,
+                n_blocks=self.opt.n_blocks_global,
+                norm=self.opt.norm,
+            )
+        if self.netD is None and self.opt.isTrain:
+            self.netD = networks.LayoutDiscriminator(
+                ndf=self.opt.ndf,
+                n_layers=self.opt.n_layers_D,
+                get_interm_feat=not self.opt.no_ganFeat_loss,
+                norm=self.opt.norm,
+            )
+
+    def encode_input(self, batch: Dict[str, jnp.ndarray]):
+        masked_oh = onehot_edges.one_hot_label(
+            batch["masked_layout"], self.opt.label_nc
+        )
+        boxmask = batch["boxmask"]
+        # inside the box the layout is unknown: zero the one-hot there
+        masked_oh = masked_oh * (1.0 - boxmask)
+        cls_oh = jax.nn.one_hot(batch["cls"], self.opt.label_nc)
+        return masked_oh, boxmask, cls_oh
+
+    def init_params(self, rng, batch):
+        masked_oh, boxmask, cls_oh = self.encode_input(batch)
+        kg, kd = jax.random.split(rng)
+        params = {"G": self.netG.init(kg, masked_oh, boxmask, cls_oh)}
+        if self.netD is not None:
+            gt_oh = onehot_edges.one_hot_label(batch["gt_layout"], self.opt.label_nc)
+            params["D"] = self.netD.init(kd, gt_oh, boxmask, cls_oh)
+        return params
+
+    def losses(self, params, batch, vgg_params=None):
+        opt = self.opt
+        masked_oh, boxmask, cls_oh = self.encode_input(batch)
+        layout_logits, mask_logit, merged = self.netG.apply(
+            params["G"], masked_oh, boxmask, cls_oh
+        )
+
+        gt_ids = batch["gt_layout"]
+        # reconstruction: CE on the context stream's logits over the full
+        # window (context must reproduce GT everywhere) + BCE object mask
+        loss_recon = opt.lambda_recon * layout_ce_loss(layout_logits, gt_ids)
+        loss_obj = opt.lambda_recon * object_mask_loss(
+            mask_logit, batch["gt_objmask"], boxmask
+        )
+
+        use_lsgan = not opt.no_lsgan
+        d_sg = _sg_tree(params["D"])
+        d_fake_for_g = self.netD.apply(d_sg, merged, boxmask, cls_oh)
+        loss_g_gan = gan_loss(d_fake_for_g, True, use_lsgan)
+
+        gt_oh = onehot_edges.one_hot_label(gt_ids, opt.label_nc)
+        merged_sg = lax.stop_gradient(merged)
+        d_real = self.netD.apply(params["D"], gt_oh, boxmask, cls_oh)
+        d_fake = self.netD.apply(params["D"], merged_sg, boxmask, cls_oh)
+        loss_d, loss_d_real, loss_d_fake = discriminator_loss(d_real, d_fake, use_lsgan)
+
+        total = loss_recon + loss_obj + loss_g_gan + loss_d
+        metrics = {
+            "G_GAN": loss_g_gan,
+            "G_recon": loss_recon,
+            "G_obj": loss_obj,
+            "D_real": loss_d_real,
+            "D_fake": loss_d_fake,
+        }
+        return total, (metrics, merged)
+
+    def inference(self, params, batch):
+        """Returns (merged layout probs, object mask probs)."""
+        masked_oh, boxmask, cls_oh = self.encode_input(batch)
+        layout_logits, mask_logit, merged = self.netG.apply(
+            params["G"], masked_oh, boxmask, cls_oh
+        )
+        return merged, jax.nn.sigmoid(mask_logit) * boxmask

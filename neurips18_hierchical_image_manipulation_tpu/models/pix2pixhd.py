@@ -1,0 +1,154 @@
+"""mask2image model wiring — the pix2pixHD-style stage (SURVEY.md C13).
+
+Wires generator, multiscale PatchGAN D, VGG19, and the LSGAN + FM + VGG
+losses into pure functions over a ``{'G':…,'D':…}`` param pytree. The
+fork's modification vs stock pix2pixHD [P §3.3]: the generator is
+additionally conditioned on the *masked RGB image* (box interior zeroed)
+so it inpaints the box region coherently; enabled by
+``opt.use_masked_image`` and a ``boxes`` field in the batch.
+
+The reference's ``forward`` returns
+``[loss_G_GAN, loss_G_GAN_Feat, loss_G_VGG, loss_D_real, loss_D_fake], fake``
+(SURVEY.md C13) — ``losses()`` below returns the same quantities as a dict.
+
+Gradient flow replaces ``.detach()``/backward ordering with stop_gradient:
+  * L_G sees D through stop_gradient'ed D params (G gets grads THROUGH the
+    D computation, D params get none — matching loss_G.backward() +
+    optimizer_G.step() with D grads zeroed afterwards);
+  * L_D sees a stop_gradient'ed fake.
+Both gradients are taken at the same (θG, θD) — exactly the reference's
+compute-both-then-step-both semantics (SURVEY.md §8 "GAN two-optimizer
+step under jit").
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..losses import (
+    discriminator_loss,
+    feature_matching_loss,
+    gan_loss,
+    vgg_loss,
+)
+from ..ops import boxcomposite, onehot_edges
+from . import networks
+
+
+def _sg_tree(tree):
+    return jax.tree.map(lax.stop_gradient, tree)
+
+
+@dataclass
+class Pix2PixHDModel:
+    """Functional model bundle for the mask2image stage."""
+
+    opt: Any
+    netG: Any = None
+    netD: Any = None
+    vgg: Any = None
+
+    def __post_init__(self):
+        if self.netG is None:
+            self.netG = networks.define_G(self.opt)
+        if self.netD is None and self.opt.isTrain:
+            self.netD = networks.define_D(self.opt)
+        if self.vgg is None and self.opt.isTrain and not self.opt.no_vgg_loss:
+            self.vgg = networks.Vgg19Features()
+
+    # ---- input encoding (SURVEY §3.2 encode_input hot path, on-device) ----
+
+    def generator_input_nc(self):
+        nc = self.opt.label_nc
+        if not self.opt.no_instance:
+            nc += 1
+        if getattr(self.opt, "use_masked_image", False):
+            nc += 3
+        return nc
+
+    def encode_input(self, batch: Dict[str, jnp.ndarray]):
+        """batch: label (B,H,W) int ids; inst (B,H,W) int; image (B,H,W,3)
+        in [-1,1]; boxes (B,4) optional. Returns (g_input, d_cond, real)."""
+        label_oh = onehot_edges.one_hot_label(batch["label"], self.opt.label_nc)
+        parts = [label_oh]
+        if not self.opt.no_instance:
+            parts.append(onehot_edges.instance_edges(batch["inst"]))
+        cond = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else label_oh
+        g_parts = [cond]
+        if getattr(self.opt, "use_masked_image", False):
+            boxes = batch["boxes"]
+            masked = boxcomposite.mask_box(batch["image"], boxes, fill=0.0)
+            g_parts.append(masked)
+        g_input = jnp.concatenate(g_parts, axis=-1) if len(g_parts) > 1 else cond
+        return g_input, cond, batch.get("image")
+
+    # ---- init ----
+
+    def init_params(self, rng, batch):
+        g_input, cond, real = self.encode_input(batch)
+        kg, kd, kv = jax.random.split(rng, 3)
+        params = {"G": self.netG.init(kg, g_input)}
+        if self.netD is not None:
+            d_in = jnp.concatenate([cond, real], axis=-1)
+            params["D"] = self.netD.init(kd, d_in)
+        if self.vgg is not None:
+            params["VGG"] = self.vgg.init(kv, real)
+        return params
+
+    # ---- losses (the single fused G+D objective) ----
+
+    def losses(self, params, batch, vgg_params=None):
+        opt = self.opt
+        g_input, cond, real = self.encode_input(batch)
+        fake = self.netG.apply(params["G"], g_input)
+
+        use_lsgan = not opt.no_lsgan
+        d_sg = _sg_tree(params["D"])
+
+        # G side: D through frozen-D params
+        d_fake_for_g = self.netD.apply(d_sg, jnp.concatenate([cond, fake], axis=-1))
+        loss_g_gan = gan_loss(d_fake_for_g, True, use_lsgan)
+
+        loss_g_feat = 0.0
+        if not opt.no_ganFeat_loss:
+            d_real_sg = self.netD.apply(d_sg, jnp.concatenate([cond, real], axis=-1))
+            loss_g_feat = feature_matching_loss(
+                d_fake_for_g,
+                d_real_sg,
+                n_layers_D=opt.n_layers_D,
+                num_D=opt.num_D,
+                lambda_feat=opt.lambda_feat,
+            )
+
+        loss_g_vgg = 0.0
+        if self.vgg is not None and vgg_params is not None:
+            loss_g_vgg = opt.lambda_feat * vgg_loss(
+                self.vgg.apply, vgg_params, fake, real
+            )
+
+        # D side: live D params, detached fake
+        fake_sg = lax.stop_gradient(fake)
+        d_real = self.netD.apply(params["D"], jnp.concatenate([cond, real], axis=-1))
+        d_fake = self.netD.apply(params["D"], jnp.concatenate([cond, fake_sg], axis=-1))
+        loss_d, loss_d_real, loss_d_fake = discriminator_loss(d_real, d_fake, use_lsgan)
+
+        total = loss_g_gan + loss_g_feat + loss_g_vgg + loss_d
+        metrics = {
+            "G_GAN": loss_g_gan,
+            "G_GAN_Feat": loss_g_feat,
+            "G_VGG": loss_g_vgg,
+            "D_real": loss_d_real,
+            "D_fake": loss_d_fake,
+        }
+        return total, (metrics, fake)
+
+    # ---- inference (SURVEY §4.3) ----
+
+    def inference(self, params, batch):
+        g_input, _, _ = self.encode_input(batch)
+        return self.netG.apply(params["G"], g_input)

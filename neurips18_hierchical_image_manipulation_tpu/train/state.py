@@ -1,0 +1,63 @@
+"""GAN train state: two optimizers (G, D) + step counter + PRNG key.
+
+Reference contract: SURVEY.md §3.2 Optimizers — separate
+``Adam(lr=2e-4, betas=(0.5, 0.999))`` for G and D; LR constant for niter
+epochs then linear decay (see schedule.py). Unlike the reference, optimizer
+state IS checkpointed (documented divergence, SURVEY.md §6.4: the
+reference resets Adam moments on resume — a quirk we consciously fix).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+
+
+class GANTrainState(struct.PyTreeNode):
+    step: Any
+    params: Any  # {'G': ..., 'D': ...}
+    opt_state_g: Any
+    opt_state_d: Any
+    rng: Any
+    tx_g: optax.GradientTransformation = struct.field(pytree_node=False)
+    tx_d: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, tx_g, tx_d, rng):
+        return cls(
+            step=jax.numpy.zeros((), jax.numpy.int32),
+            params=params,
+            opt_state_g=tx_g.init(params["G"]),
+            opt_state_d=tx_d.init(params["D"]),
+            rng=rng,
+            tx_g=tx_g,
+            tx_d=tx_d,
+        )
+
+    def apply_gradients(self, grads):
+        upd_g, new_og = self.tx_g.update(grads["G"], self.opt_state_g, self.params["G"])
+        upd_d, new_od = self.tx_d.update(grads["D"], self.opt_state_d, self.params["D"])
+        new_params = dict(self.params)
+        new_params["G"] = optax.apply_updates(self.params["G"], upd_g)
+        new_params["D"] = optax.apply_updates(self.params["D"], upd_d)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state_g=new_og,
+            opt_state_d=new_od,
+        )
+
+
+def make_optimizers(opt, steps_per_epoch: int):
+    """Adam pair with the reference's LR schedule baked in as an optax
+    schedule over *steps* (the reference decays per epoch — identical
+    piecewise-constant values when steps_per_epoch matches)."""
+    from .schedule import linear_decay_schedule
+
+    sched = linear_decay_schedule(opt.lr, opt.niter, opt.niter_decay, steps_per_epoch)
+    tx_g = optax.adam(sched, b1=opt.beta1, b2=0.999)
+    tx_d = optax.adam(sched, b1=opt.beta1, b2=0.999)
+    return tx_g, tx_d

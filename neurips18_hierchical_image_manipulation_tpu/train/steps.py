@@ -1,0 +1,81 @@
+"""The jitted GAN train step — single-device and shard_map DP variants.
+
+One pure function computes BOTH gradients at the same (θG, θD) and applies
+both optimizer updates — the exact semantics of the reference's
+loss_G.backward(); step(); loss_D.backward(); step() sequence (gradients
+are all evaluated before either step; see models/pix2pixhd.py docstring).
+
+DP (SURVEY.md §3.5 / §6.8): the step is wrapped in ``jax.shard_map`` over a
+1-D ``Mesh('data')``; per-device gradients are ``lax.psum``-averaged over
+ICI before the optimizer update — params stay replicated, batch is sharded
+on axis 0. BASELINE.json:5 "data-parallel ICI gradient allreduce".
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_train_step(model, vgg_params=None, donate=True):
+    """Single-device jitted step: (state, batch) -> (state, metrics, fake)."""
+
+    def loss_fn(params, batch):
+        return model.losses(params, batch, vgg_params=vgg_params)
+
+    @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
+    def step(state, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, fake)), grads = grad_fn(state.params, batch)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics, fake
+
+    return step
+
+
+def make_dp_train_step(model, mesh: Mesh, vgg_params=None, axis: str = "data"):
+    """Data-parallel step over ``mesh``: batch sharded on axis 0, params
+    replicated, gradient allreduce via lax.psum (mean) inside shard_map."""
+
+    def loss_fn(params, batch):
+        return model.losses(params, batch, vgg_params=vgg_params)
+
+    def device_step(state, batch):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, fake)), grads = grad_fn(state.params, batch)
+        grads = lax.pmean(grads, axis)
+        metrics = lax.pmean(metrics, axis)
+        new_state = state.apply_gradients(grads)
+        return new_state, metrics, fake
+
+    replicated = P()
+    batch_sharded = P(axis)
+    sharded_step = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(replicated, batch_sharded),
+        out_specs=(replicated, replicated, batch_sharded),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(state, batch):
+        return sharded_step(state, batch)
+
+    return step
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch onto the mesh, sharded along the batch axis."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
