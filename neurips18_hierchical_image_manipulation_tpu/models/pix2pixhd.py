@@ -74,10 +74,13 @@ class Pix2PixHDModel:
     def encode_input(self, batch: Dict[str, jnp.ndarray]):
         """batch: label (B,H,W) int ids; inst (B,H,W) int; image (B,H,W,3)
         in [-1,1]; boxes (B,4) optional. Returns (g_input, d_cond, real)."""
-        label_oh = onehot_edges.one_hot_label(batch["label"], self.opt.label_nc)
+        # follow the image dtype so the bf16 policy reaches the one-hot
+        # conditioning tensors built on-device here
+        dt = batch["image"].dtype if "image" in batch else jnp.float32
+        label_oh = onehot_edges.one_hot_label(batch["label"], self.opt.label_nc, dtype=dt)
         parts = [label_oh]
         if not self.opt.no_instance:
-            parts.append(onehot_edges.instance_edges(batch["inst"]))
+            parts.append(onehot_edges.instance_edges(batch["inst"], dtype=dt))
         cond = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else label_oh
         g_parts = [cond]
         if getattr(self.opt, "use_masked_image", False):

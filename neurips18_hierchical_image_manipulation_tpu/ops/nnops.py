@@ -117,10 +117,16 @@ def instance_norm(x, *, eps=1e-5):
     Biased variance (torch IN normalizes by HW, not HW-1), eps inside the
     sqrt, no learned affine (the reference uses ``--norm instance`` which is
     InstanceNorm2d(affine=False) — SURVEY.md §3.2 weights_init note).
+
+    Statistics are always accumulated in fp32 — under the bf16 training
+    policy the conv FLOPs stay bf16 on the MXU while the spatial mean/var
+    reduction keeps full precision (bf16 mantissa is too short for
+    HW-sized accumulations).
     """
-    mean = jnp.mean(x, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=(1, 2), keepdims=True)
-    return (x - mean) * lax.rsqrt(var + eps)
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def batch_norm_inference(x, mean, var, gamma, beta, *, eps=1e-5):

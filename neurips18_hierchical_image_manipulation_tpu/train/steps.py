@@ -22,11 +22,40 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_train_step(model, vgg_params=None, donate=True):
-    """Single-device jitted step: (state, batch) -> (state, metrics, fake)."""
+def _cast_floats(tree, dtype):
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+
+    return jax.tree.map(cast, tree)
+
+
+def _make_loss_fn(model, vgg_params, compute_dtype):
+    """Mixed-precision GAN objective: master params stay fp32; under a bf16
+    policy params+batch are cast at the step boundary so every conv runs
+    bf16 on the MXU. The cast is differentiable, so jax.grad returns fp32
+    gradients at the master params (bf16 GAN training needs no loss
+    scaling — bf16 keeps fp32's exponent range)."""
 
     def loss_fn(params, batch):
-        return model.losses(params, batch, vgg_params=vgg_params)
+        if compute_dtype is not None and compute_dtype != jnp.float32:
+            params = _cast_floats(params, compute_dtype)
+            batch = _cast_floats(batch, compute_dtype)
+            vgg = _cast_floats(vgg_params, compute_dtype) if vgg_params else None
+        else:
+            vgg = vgg_params
+        total, (metrics, fake) = model.losses(params, batch, vgg_params=vgg)
+        metrics = jax.tree.map(lambda m: jnp.asarray(m, jnp.float32), metrics)
+        return jnp.asarray(total, jnp.float32), (metrics, fake)
+
+    return loss_fn
+
+
+def make_train_step(model, vgg_params=None, donate=True, compute_dtype=None):
+    """Single-device jitted step: (state, batch) -> (state, metrics, fake)."""
+
+    loss_fn = _make_loss_fn(model, vgg_params, compute_dtype)
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state, batch):
@@ -38,12 +67,13 @@ def make_train_step(model, vgg_params=None, donate=True):
     return step
 
 
-def make_dp_train_step(model, mesh: Mesh, vgg_params=None, axis: str = "data"):
+def make_dp_train_step(
+    model, mesh: Mesh, vgg_params=None, axis: str = "data", compute_dtype=None
+):
     """Data-parallel step over ``mesh``: batch sharded on axis 0, params
     replicated, gradient allreduce via lax.psum (mean) inside shard_map."""
 
-    def loss_fn(params, batch):
-        return model.losses(params, batch, vgg_params=vgg_params)
+    loss_fn = _make_loss_fn(model, vgg_params, compute_dtype)
 
     def device_step(state, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
