@@ -1,0 +1,173 @@
+"""Bbox preprocessing + bbox-conditioned crop dataset (SURVEY.md C8/C9).
+
+``extract_bbox_records`` (C9, offline): scans ``{phase}_inst`` instance-id
+maps and emits per-object records {image_index, class, bbox} — the
+equivalent of the reference's preprocessed-json step over Cityscapes
+instance polygons. Thing-objects are instance ids >= 1000 (Cityscapes
+``class*1000+k`` convention).
+
+``BboxCropDataset`` (C8): samples an object record, expands its box to a
+context window (``contextMargin`` x the box, clipped), crops label/inst/
+RGB, resizes to the FIXED ``fineSize`` square (the jit-static shape the
+TPU path requires — SURVEY §8 "Dynamic box shapes"), and returns the
+structure-generator batch: GT layout ids, box mask (in window coords),
+class id, GT object mask, plus the RGB window + in-window box for the
+conditioned mask2image stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+from PIL import Image
+
+from .cityscapes import AlignedDataset
+
+
+def bboxes_from_instance_map(inst: np.ndarray, min_size=16, max_size=10_000):
+    """(H,W) instance ids -> list of {cls, bbox=(y0,x0,h,w)} for thing ids."""
+    records = []
+    for iid in np.unique(inst):
+        if iid < 1000:
+            continue
+        ys, xs = np.nonzero(inst == iid)
+        y0, y1 = ys.min(), ys.max() + 1
+        x0, x1 = xs.min(), xs.max() + 1
+        h, w = int(y1 - y0), int(x1 - x0)
+        if min(h, w) < min_size or max(h, w) > max_size:
+            continue
+        records.append(
+            {
+                "cls": int(iid // 1000),
+                "inst_id": int(iid),
+                "bbox": [int(y0), int(x0), h, w],
+            }
+        )
+    return records
+
+
+def extract_bbox_records(dataset: AlignedDataset, min_size=16, max_size=10_000):
+    """Offline pass over a dataset's instance maps -> per-image records."""
+    all_records = []
+    for idx in range(len(dataset)):
+        sample = dataset[idx]
+        for rec in bboxes_from_instance_map(sample["inst"], min_size, max_size):
+            rec["image_index"] = idx
+            all_records.append(rec)
+    return all_records
+
+
+def save_bbox_records(records: List[Dict], path: str):
+    with open(path, "w") as f:
+        json.dump(records, f)
+
+
+def load_bbox_records(path: str) -> List[Dict]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def _context_window(bbox, hw, margin, out_size):
+    """Square context window = margin x max-side, centered, clipped."""
+    y0, x0, h, w = bbox
+    cy, cx = y0 + h / 2.0, x0 + w / 2.0
+    side = max(max(h, w) * margin, out_size / 8.0, 8.0)
+    side_h = min(side, hw[0])
+    side_w = min(side, hw[1])
+    wy0 = int(np.clip(cy - side_h / 2.0, 0, hw[0] - side_h))
+    wx0 = int(np.clip(cx - side_w / 2.0, 0, hw[1] - side_w))
+    return wy0, wx0, int(side_h), int(side_w)
+
+
+class BboxCropDataset:
+    """Per-object context-window crops for box2mask (and box-conditioned
+    mask2image). One epoch = one pass over object records."""
+
+    def __init__(self, opt, records: Optional[List[Dict]] = None):
+        self.opt = opt
+        # the crop dataset always needs instance maps to find objects, even
+        # when the model consumes no instance-edge channel (no_instance)
+        import dataclasses as _dc
+
+        base_opt = _dc.replace(opt) if _dc.is_dataclass(opt) else opt
+        base_opt.no_instance = False
+        self.base = AlignedDataset(base_opt)
+        self.size = opt.fineSize
+        self.margin = getattr(opt, "contextMargin", 2.0)
+        if records is None:
+            cache = os.path.join(
+                opt.dataroot, f"{getattr(opt, 'phase', 'train')}_bboxes.json"
+            )
+            if os.path.exists(cache):
+                records = load_bbox_records(cache)
+            else:
+                records = extract_bbox_records(
+                    self.base,
+                    getattr(opt, "min_box_size", 16),
+                    getattr(opt, "max_box_size", 10_000),
+                )
+                try:
+                    save_bbox_records(records, cache)
+                except OSError:
+                    pass
+        self.records = records
+
+    def __len__(self):
+        return len(self.records)
+
+    def __getitem__(self, index) -> Dict[str, np.ndarray]:
+        rec = self.records[index]
+        sample = self.base[rec["image_index"]]
+        label, inst = sample["label"], sample["inst"]
+        hw = label.shape
+        s = self.size
+
+        wy0, wx0, wh, ww = _context_window(rec["bbox"], hw, self.margin, s)
+
+        def crop_resize_nearest(arr):
+            win = arr[wy0 : wy0 + wh, wx0 : wx0 + ww]
+            return np.asarray(
+                Image.fromarray(win.astype(np.int32), mode="I").resize(
+                    (s, s), Image.NEAREST
+                ),
+                dtype=np.int32,
+            )
+
+        gt_layout = crop_resize_nearest(label)
+        inst_win = crop_resize_nearest(inst)
+
+        # object box in window coords, scaled to the fixed crop
+        y0, x0, h, w = rec["bbox"]
+        sy, sx = s / wh, s / ww
+        by0 = int(np.clip((y0 - wy0) * sy, 0, s - 1))
+        bx0 = int(np.clip((x0 - wx0) * sx, 0, s - 1))
+        bh = max(int(h * sy), 1)
+        bw = max(int(w * sx), 1)
+        boxmask = np.zeros((s, s, 1), np.float32)
+        boxmask[by0 : min(by0 + bh, s), bx0 : min(bx0 + bw, s)] = 1.0
+
+        gt_objmask = (
+            (inst_win == rec["inst_id"]).astype(np.float32)[..., None] * boxmask
+        )
+
+        out = {
+            "gt_layout": gt_layout,
+            "masked_layout": gt_layout.copy(),  # one-hot zeroed in-box on device
+            "boxmask": boxmask,
+            "gt_objmask": gt_objmask,
+            "cls": np.int32(rec["cls"]),
+            "boxes": np.asarray([by0, bx0, bh, bw], np.float32),
+            "path": sample["path"],
+        }
+        if "image" in sample:
+            win = sample["image"][wy0 : wy0 + wh, wx0 : wx0 + ww]
+            rgb = Image.fromarray(
+                ((win + 1.0) * 127.5).astype(np.uint8)
+            ).resize((s, s), Image.BICUBIC)
+            out["image"] = np.asarray(rgb, np.float32) / 127.5 - 1.0
+            out["label"] = gt_layout
+            out["inst"] = inst_win
+        return out

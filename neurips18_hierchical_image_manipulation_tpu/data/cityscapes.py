@@ -1,0 +1,74 @@
+"""Aligned (label, inst, img) dataset (SURVEY.md C7: data/aligned_dataset.py
+[L]): ``{dataroot}/{phase}_label`` (nearest-resized id maps),
+``{phase}_inst``, ``{phase}_img`` — paired transforms, dict samples.
+
+Returns numpy NHWC batches ready for device_put; all tensor math
+(one-hot, edges, masking) runs on-device in the models' encode_input.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+from PIL import Image
+
+from .image_folder import make_dataset
+from .transforms import apply_transform, get_params, normalize_rgb
+
+
+class AlignedDataset:
+    def __init__(self, opt):
+        self.opt = opt
+        self.root = opt.dataroot
+        phase = getattr(opt, "phase", "train")
+
+        self.label_paths = make_dataset(
+            os.path.join(self.root, f"{phase}_label"), opt.max_dataset_size
+        )
+        self.inst_paths = None
+        if not opt.no_instance:
+            self.inst_paths = make_dataset(
+                os.path.join(self.root, f"{phase}_inst"), opt.max_dataset_size
+            )
+        self.image_paths = None
+        img_dir = os.path.join(self.root, f"{phase}_img")
+        if os.path.isdir(img_dir):
+            self.image_paths = make_dataset(img_dir, opt.max_dataset_size)
+        self.rng = np.random.RandomState(getattr(opt, "seed", 0))
+
+    def __len__(self):
+        return len(self.label_paths)
+
+    def __getitem__(self, index) -> Dict[str, np.ndarray]:
+        label_img = Image.open(self.label_paths[index])
+        params = get_params(self.opt, label_img.size, self.rng)
+
+        label = apply_transform(label_img, self.opt, params, Image.NEAREST)
+        label_ids = np.asarray(label).astype(np.int32)
+        if label_ids.ndim == 3:
+            label_ids = label_ids[..., 0]
+
+        sample = {"label": label_ids, "path": self.label_paths[index]}
+
+        if self.inst_paths is not None:
+            inst = apply_transform(
+                Image.open(self.inst_paths[index]), self.opt, params, Image.NEAREST
+            )
+            inst_ids = np.asarray(inst).astype(np.int32)
+            if inst_ids.ndim == 3:
+                inst_ids = inst_ids[..., 0]
+            sample["inst"] = inst_ids
+        else:
+            sample["inst"] = np.zeros_like(label_ids)
+
+        if self.image_paths is not None:
+            rgb = apply_transform(
+                Image.open(self.image_paths[index]).convert("RGB"),
+                self.opt,
+                params,
+                Image.BICUBIC,
+            )
+            sample["image"] = normalize_rgb(np.asarray(rgb))
+        return sample

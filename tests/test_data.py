@@ -1,0 +1,131 @@
+"""Data-layer tests: aligned dataset, bbox extraction, crop dataset, loader.
+Builds a tiny synthetic Cityscapes-format dataroot of PNGs on the fly."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+    BoxToMaskTrainOptions,
+    MaskToImageTrainOptions,
+)
+from neurips18_hierchical_image_manipulation_tpu.data.bbox import (
+    BboxCropDataset,
+    bboxes_from_instance_map,
+    extract_bbox_records,
+)
+from neurips18_hierchical_image_manipulation_tpu.data.cityscapes import AlignedDataset
+from neurips18_hierchical_image_manipulation_tpu.data.loader import (
+    CreateDataLoader,
+    DataLoader,
+)
+
+
+@pytest.fixture
+def dataroot(tmp_path):
+    root = tmp_path / "city"
+    for sub in ("train_label", "train_inst", "train_img"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        h, w = 64, 128
+        label = np.zeros((h, w), np.uint8)
+        label[: h // 2] = 23  # sky
+        label[h // 2 :] = 7  # road
+        inst = np.zeros((h, w), np.int32)
+        # a car object
+        y0, x0, bh, bw = 20, 30 + i * 10, 24, 32
+        label[y0 : y0 + bh, x0 : x0 + bw] = 26
+        inst[y0 : y0 + bh, x0 : x0 + bw] = 26000 + i
+        img = rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8)
+
+        Image.fromarray(label).save(root / "train_label" / f"{i:03d}.png")
+        Image.fromarray(inst, mode="I").save(root / "train_inst" / f"{i:03d}.png")
+        Image.fromarray(img).save(root / "train_img" / f"{i:03d}.png")
+    return str(root)
+
+
+def m2i_opt(dataroot, tmp_root, **kw):
+    base = dict(
+        name="d",
+        checkpoints_dir=os.path.join(tmp_root, "ckpt"),
+        dataroot=dataroot,
+        loadSize=128,
+        fineSize=64,
+        resize_or_crop="none",
+        no_flip=True,
+        batchSize=2,
+        serial_batches=True,
+    )
+    base.update(kw)
+    return MaskToImageTrainOptions(**base)
+
+
+def test_aligned_dataset(dataroot, tmp_path):
+    opt = m2i_opt(dataroot, str(tmp_path))
+    ds = AlignedDataset(opt)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["label"].shape == (64, 128) and s["label"].dtype == np.int32
+    assert set(np.unique(s["label"])) <= {7, 23, 26}
+    assert s["inst"].max() >= 26000
+    assert s["image"].shape == (64, 128, 3)
+    assert -1.0 <= s["image"].min() and s["image"].max() <= 1.0
+
+
+def test_scale_width_transform(dataroot, tmp_path):
+    opt = m2i_opt(dataroot, str(tmp_path), resize_or_crop="scale_width", loadSize=64)
+    s = AlignedDataset(opt)[0]
+    assert s["label"].shape == (32, 64)  # aspect preserved
+
+
+def test_bbox_extraction(dataroot, tmp_path):
+    opt = m2i_opt(dataroot, str(tmp_path))
+    ds = AlignedDataset(opt)
+    recs = extract_bbox_records(ds, min_size=4)
+    assert len(recs) == 3
+    assert all(r["cls"] == 26 for r in recs)
+    y0, x0, h, w = recs[0]["bbox"]
+    assert (h, w) == (24, 32)
+
+
+def test_bbox_crop_dataset(dataroot, tmp_path):
+    opt = BoxToMaskTrainOptions(
+        name="d",
+        checkpoints_dir=os.path.join(str(tmp_path), "ckpt"),
+        dataroot=dataroot,
+        fineSize=32,
+        resize_or_crop="none",
+        no_flip=True,
+        batchSize=1,
+        serial_batches=True,
+        min_box_size=4,
+        no_instance=True,
+    )
+    ds = BboxCropDataset(opt)
+    assert len(ds) == 3
+    s = ds[0]
+    assert s["gt_layout"].shape == (32, 32)
+    assert s["boxmask"].shape == (32, 32, 1)
+    assert s["boxmask"].sum() > 0
+    # object mask inside box, labeled with the class
+    obj = s["gt_objmask"][..., 0] > 0
+    assert obj.sum() > 0
+    assert np.all(s["gt_layout"][obj] == 26)
+    # the bbox json cache was written
+    assert os.path.exists(os.path.join(dataroot, "train_bboxes.json"))
+    # RGB window present for the conditioned mask2image stage
+    assert s["image"].shape == (32, 32, 3)
+
+
+def test_loader_batching(dataroot, tmp_path):
+    opt = m2i_opt(dataroot, str(tmp_path))
+    loader = CreateDataLoader(opt)
+    batches = list(loader)
+    assert len(batches) == 1  # 3 samples, bs 2, drop_last
+    b = batches[0]
+    assert b["label"].shape == (2, 64, 128)
+    assert b["image"].shape == (2, 64, 128, 3)
+    assert isinstance(b["path"], list) and len(b["path"]) == 2
