@@ -1,0 +1,166 @@
+"""Two-step manipulation pipeline (SURVEY.md §4.4, C26, BASELINE config #4):
+
+box edit (add / remove / swap) -> structure generator inpaints the layout
+inside the box -> paste layout back into the full label map -> image
+generator renders the window RGB conditioned on (completed layout, masked
+photo) -> paste the rendered box region back into the photo.
+
+The whole chain is ONE jitted function at static shapes: the dynamic
+context window is handled by gather-based crop_resize / inverse-mapped
+paste_resize (ops/boxcomposite.py) so box coordinates stay traced values
+— no host round-trips between the stages (BASELINE.json:5 "compositing
+hot path" fused on-device).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import boxcomposite, onehot_edges
+
+
+class TwoStepPipeline:
+    """Composes a BoxToMaskModel and a Pix2PixHDModel (mask2image)."""
+
+    def __init__(self, b2m_model, b2m_params, m2i_model, m2i_params,
+                 context_margin: float = 2.0):
+        self.b2m = b2m_model
+        self.b2m_params = b2m_params
+        self.m2i = m2i_model
+        self.m2i_params = m2i_params
+        self.margin = context_margin
+        self.crop_size = self.b2m.opt.fineSize
+        self.m2i_size = self.m2i.opt.fineSize
+        self._jitted = jax.jit(self._manipulate_impl, static_argnames=("mode",))
+
+    def manipulate(self, image, label, inst, boxes, cls, mode: str = "add"):
+        """image (B,H,W,3) [-1,1]; label/inst (B,H,W) int; boxes (B,4)
+        (y0,x0,h,w) object boxes; cls (B,) target class ids.
+
+        Returns dict with the completed full-res label map, the edited
+        photo, and the intermediate window tensors. The full chain runs as
+        one jitted program."""
+        return self._jitted(
+            self.b2m_params, self.m2i_params, image, label, inst, boxes, cls,
+            mode=mode,
+        )
+
+    def _manipulate_impl(self, b2m_params, m2i_params, image, label, inst,
+                         boxes, cls, mode: str = "add"):
+        hw = label.shape[1:3]
+        s = self.crop_size
+        windows = boxcomposite.expand_to_context_window(
+            boxes, hw, self.margin, min_size=s // 4
+        )
+
+        # 1-2. crop the context window, box mask in window coords
+        label_win = boxcomposite.crop_resize(
+            label[..., None].astype(jnp.float32), windows, (s, s), method="nearest"
+        )[..., 0].astype(jnp.int32)
+
+        wy0, wx0, wh, ww = (windows[:, 0], windows[:, 1], windows[:, 2], windows[:, 3])
+        by = (boxes[:, 0] - wy0) * (s / wh)
+        bx = (boxes[:, 1] - wx0) * (s / ww)
+        bh = boxes[:, 2] * (s / wh)
+        bw = boxes[:, 3] * (s / ww)
+        box_in_win = jnp.stack([by, bx, bh, bw], axis=1)
+        boxmask = boxcomposite.box_mask(box_in_win, (s, s))
+
+        # 3. structure generator -> completed window layout
+        if mode == "remove":
+            # context fill: no class conditioning, object stream ignored [P]
+            cls_for_g = jnp.zeros_like(cls)
+        else:
+            cls_for_g = cls
+        b2m_batch = {
+            "masked_layout": label_win,
+            "boxmask": boxmask,
+            "cls": cls_for_g,
+        }
+        merged_probs, obj_mask = self.b2m.inference(b2m_params, b2m_batch)
+        if mode == "remove":
+            ctx_ids = jnp.argmax(merged_probs, axis=-1)
+            pred_win_ids = jnp.where(
+                boxmask[..., 0] > 0, ctx_ids, label_win
+            ).astype(jnp.int32)
+        else:
+            pred_ids = jnp.argmax(merged_probs, axis=-1)
+            pred_win_ids = jnp.where(
+                boxmask[..., 0] > 0, pred_ids, label_win
+            ).astype(jnp.int32)
+
+        # 4. paste layout back into the full-res label map (box region only)
+        full_pred = boxcomposite.paste_resize(
+            label[..., None].astype(jnp.float32),
+            pred_win_ids[..., None].astype(jnp.float32),
+            windows,
+            method="nearest",
+        )[..., 0].astype(jnp.int32)
+        completed_label = jnp.where(
+            boxcomposite.box_mask(boxes, hw)[..., 0] > 0, full_pred, label
+        )
+
+        # 5. image generator on the window: completed layout + masked RGB
+        ms = self.m2i_size
+        layout_m2i = boxcomposite.crop_resize(
+            completed_label[..., None].astype(jnp.float32), windows, (ms, ms),
+            method="nearest",
+        )[..., 0].astype(jnp.int32)
+        rgb_win = boxcomposite.crop_resize(image, windows, (ms, ms), method="bilinear")
+        scale_y = ms / wh
+        scale_x = ms / ww
+        box_m2i = jnp.stack(
+            [
+                (boxes[:, 0] - wy0) * scale_y,
+                (boxes[:, 1] - wx0) * scale_x,
+                boxes[:, 2] * scale_y,
+                boxes[:, 3] * scale_x,
+            ],
+            axis=1,
+        )
+        inst_m2i = layout_m2i  # no instance ids for edited objects
+        m2i_batch = {
+            "label": layout_m2i,
+            "inst": inst_m2i,
+            "image": rgb_win,
+            "boxes": box_m2i,
+        }
+        fake_win = self.m2i.inference(m2i_params, m2i_batch)
+
+        # 6. paste the rendered BOX REGION back into the photo
+        pasted = boxcomposite.paste_resize(image, fake_win, windows, method="bilinear")
+        edited = jnp.where(
+            boxcomposite.box_mask(boxes, hw) > 0, pasted, image
+        )
+
+        return {
+            "completed_label": completed_label,
+            "edited_image": edited,
+            "window_layout": pred_win_ids,
+            "window_rgb": fake_win,
+            "object_mask": obj_mask,
+            "windows": windows,
+        }
+
+    def add_object(self, image, label, inst, boxes, cls):
+        return self.manipulate(image, label, inst, boxes, cls, mode="add")
+
+    def remove_object(self, image, label, inst, boxes):
+        cls = jnp.zeros((boxes.shape[0],), jnp.int32)
+        return self.manipulate(image, label, inst, boxes, cls, mode="remove")
+
+    def swap_object(self, image, label, inst, old_boxes, new_boxes, cls):
+        """Move/swap = remove at the old box, then add at the new box."""
+        removed = self.remove_object(image, label, inst, old_boxes)
+        return self.manipulate(
+            removed["edited_image"],
+            removed["completed_label"],
+            inst,
+            new_boxes,
+            cls,
+            mode="add",
+        )

@@ -1,0 +1,116 @@
+"""Training loop driver (SURVEY.md C24: the reference's *_train.py epoch /
+iter loop semantics [L]): resume bookkeeping via iter.txt, jitted G+D step,
+periodic console/HTML display, 'latest' + per-epoch checkpoints, LR decay
+handled inside the optax schedule (train/schedule.py).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.checkpoint import CheckpointManager
+from ..utils.imaging import tensor2im, tensor2label
+from ..utils.visualizer import Visualizer
+from .state import GANTrainState, make_optimizers
+from . import steps as train_steps
+
+
+def _device_batch(batch: Dict[str, np.ndarray]):
+    return {k: jnp.asarray(v) for k, v in batch.items() if not isinstance(v, list)}
+
+
+def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None):
+    """Generic two-stage GAN training loop used by both CLI drivers."""
+    visualizer = Visualizer(opt)
+    ckpt = CheckpointManager(opt)
+
+    steps_per_epoch = max(len(loader), 1)
+    tx_g, tx_d = make_optimizers(opt, steps_per_epoch)
+
+    first = _device_batch(next(iter(loader)))
+    params = jax.jit(lambda r: model.init_params(r, first))(
+        jax.random.PRNGKey(opt.seed)
+    )
+    vgg_params = params.pop("VGG", None)
+    state = GANTrainState.create(params, tx_g, tx_d, jax.random.PRNGKey(opt.seed + 1))
+
+    start_epoch, epoch_iter0 = 1, 0
+    if opt.continue_train and ckpt.exists(opt.which_epoch):
+        state = ckpt.restore(opt.which_epoch, state)
+        start_epoch, epoch_iter0 = ckpt.read_iter()
+        print(f"resumed from {opt.which_epoch} at epoch {start_epoch}")
+
+    compute_dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else None
+    if mesh is not None:
+        step_fn = train_steps.make_dp_train_step(
+            model, mesh, vgg_params=vgg_params, compute_dtype=compute_dtype
+        )
+        state = train_steps.replicate(state, mesh)
+    else:
+        step_fn = train_steps.make_train_step(
+            model, vgg_params=vgg_params, compute_dtype=compute_dtype
+        )
+
+    total_steps = int(state.step)
+    for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
+        epoch_start = time.time()
+        for i, host_batch in enumerate(loader):
+            iter_start = time.time()
+            batch = _device_batch(host_batch)
+            if mesh is not None:
+                batch = train_steps.shard_batch(batch, mesh)
+            state, metrics, fake = step_fn(state, batch)
+            total_steps += 1
+
+            if total_steps % opt.print_freq == 0:
+                errors = {k: float(v) for k, v in metrics.items()}
+                visualizer.print_current_errors(
+                    epoch, i + 1, errors, time.time() - iter_start
+                )
+                visualizer.plot_current_errors(errors, total_steps)
+
+            if total_steps % opt.display_freq == 0:
+                visuals = (
+                    make_visuals(host_batch, np.asarray(jax.device_get(fake)))
+                    if make_visuals
+                    else {}
+                )
+                if visuals:
+                    visualizer.display_current_results(visuals, epoch, total_steps)
+
+            if total_steps % opt.save_latest_freq == 0:
+                ckpt.save("latest", state, epoch, i + 1)
+
+        if epoch % opt.save_epoch_freq == 0:
+            ckpt.save(epoch, state, epoch + 1, 0)
+            ckpt.save("latest", state, epoch + 1, 0)
+        print(
+            f"End of epoch {epoch} / {opt.niter + opt.niter_decay} \t"
+            f" Time Taken: {time.time() - epoch_start:.0f} sec",
+            flush=True,
+        )
+    return state
+
+
+def mask2image_visuals(host_batch, fake, label_nc=35):
+    vis = {
+        "input_label": tensor2label(host_batch["label"], label_nc),
+        "synthesized_image": tensor2im(fake),
+    }
+    if "image" in host_batch:
+        vis["real_image"] = tensor2im(host_batch["image"])
+    return vis
+
+
+def box2mask_visuals(host_batch, merged, label_nc=35):
+    return {
+        "masked_layout": tensor2label(host_batch["masked_layout"], label_nc),
+        "predicted_layout": tensor2label(merged, label_nc),
+        "gt_layout": tensor2label(host_batch["gt_layout"], label_nc),
+    }
