@@ -1,0 +1,73 @@
+"""mask2image test/inference driver (SURVEY.md C25, call stack §4.3):
+load nets at --which_epoch, run --how_many samples, dump an HTML gallery
+into --results_dir."""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs.options import MaskToImageTestOptions, parse_cli
+from ..data.loader import CreateDataLoader
+from ..models.factory import create_model
+from ..utils import html as html_mod
+from ..utils.checkpoint import CheckpointManager
+from ..utils.imaging import tensor2im, tensor2label
+from ..utils.visualizer import Visualizer
+
+
+def restore_params(opt, model, sample_batch):
+    params = jax.jit(lambda r: model.init_params(r, sample_batch))(
+        jax.random.PRNGKey(opt.seed)
+    )
+    params.pop("VGG", None)
+    ckpt = CheckpointManager(opt)
+    if ckpt.has_params(opt.which_epoch):
+        params = ckpt.restore_params(opt.which_epoch, params)
+        print(f"restored checkpoint '{opt.which_epoch}'")
+        return params
+    print("WARNING: no checkpoint found — using random init")
+    return params
+
+
+def main(argv=None):
+    opt = parse_cli(MaskToImageTestOptions, argv)
+    loader = CreateDataLoader(opt)
+    model = create_model(opt)
+    visualizer = Visualizer(opt)
+
+    web_dir = os.path.join(opt.results_dir, opt.name, f"{opt.phase}_{opt.which_epoch}")
+    webpage = html_mod.HTML(
+        web_dir, f"Experiment = {opt.name}, Phase = {opt.phase}, Epoch = {opt.which_epoch}"
+    )
+
+    params = None
+    fwd = jax.jit(lambda p, b: model.inference(p, b))
+    done = 0
+    for host_batch in loader:
+        batch = {k: jnp.asarray(v) for k, v in host_batch.items() if not isinstance(v, list)}
+        if params is None:
+            params = restore_params(opt, model, batch)
+        fake = np.asarray(jax.device_get(fwd(params, batch)))
+        for i in range(fake.shape[0]):
+            visuals = {
+                "input_label": tensor2label(host_batch["label"][i], opt.label_nc),
+                "synthesized_image": tensor2im(fake[i]),
+            }
+            if "image" in host_batch:
+                visuals["real_image"] = tensor2im(host_batch["image"][i])
+            visualizer.save_images(webpage, visuals, host_batch["path"][i])
+            done += 1
+            if done >= opt.how_many:
+                break
+        if done >= opt.how_many:
+            break
+    webpage.save()
+    print(f"wrote {done} results to {web_dir}")
+
+
+if __name__ == "__main__":
+    main()

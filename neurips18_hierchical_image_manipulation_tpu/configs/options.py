@@ -193,12 +193,24 @@ class MaskToImageTrainOptions(TrainOptions):
 
     model: str = "pix2pixHD"
     use_masked_image: bool = True
+    # the fork trains the image generator on bbox context windows with the
+    # box interior of the RGB masked out (SURVEY.md C8 "box2mask +
+    # conditioned mask2image"); plain pix2pixHD full-scene training is
+    # --no-use_masked_image + use_bbox_dataset False
+    use_bbox_dataset: bool = True
+    contextMargin: float = 2.0
+    min_box_size: int = 16
+    max_box_size: int = 10_000
 
 
 @dataclass
 class MaskToImageTestOptions(TestOptions):
     model: str = "pix2pixHD"
     use_masked_image: bool = True
+    use_bbox_dataset: bool = True
+    contextMargin: float = 2.0
+    min_box_size: int = 16
+    max_box_size: int = 10_000
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:

@@ -40,6 +40,10 @@ class CheckpointManager:
         path = self._path(label)
         self._ckptr.save(path, payload, force=True)
         self._ckptr.wait_until_finished()
+        # flat-npz params sidecar: tolerant partial restore for inference
+        # (mirrors the reference's per-net {epoch}_net_{G|D}.pth files and
+        # its partial-load fallback — SURVEY.md C12 load_network)
+        save_params_npz(self._path(f"{label}_params.npz"), state.params)
         with open(self.iter_file, "w") as f:
             f.write(f"{epoch},{epoch_iter}")
 
@@ -60,6 +64,32 @@ class CheckpointManager:
             step=restored["step"],
             rng=restored["rng"],
         )
+
+    def restore_params(self, label, template):
+        """Partial params-only restore from the npz sidecar: every leaf of
+        ``template`` present in the checkpoint is loaded; missing keys keep
+        the template value (the reference's partial-load fallback)."""
+        data = np.load(self._path(f"{label}_params.npz"))
+        flat, _ = jax.tree_util.tree_flatten_with_path(template)
+        out = []
+        missing = []
+        for keypath, leaf in flat:
+            key = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
+            )
+            if key in data and data[key].shape == leaf.shape:
+                out.append(data[key].astype(np.asarray(leaf).dtype))
+            else:
+                missing.append(key)
+                out.append(leaf)
+        if missing:
+            print(f"checkpoint partial load: {len(missing)} leaves kept at init")
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(template), out
+        )
+
+    def has_params(self, label) -> bool:
+        return os.path.exists(self._path(f"{label}_params.npz"))
 
     def read_iter(self):
         """-> (start_epoch, epoch_iter) like the reference's iter.txt."""

@@ -1,0 +1,103 @@
+"""CLI smoke tests: tiny end-to-end train + test runs through the real
+drivers on a synthetic PNG dataroot (SURVEY §4.1-4.3 call stacks)."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture
+def dataroot(tmp_path):
+    root = tmp_path / "city"
+    for sub in ("train_label", "train_inst", "train_img",
+                "test_label", "test_inst", "test_img"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    for phase in ("train", "test"):
+        for i in range(2):
+            h, w = 64, 64
+            label = np.full((h, w), 3, np.uint8)
+            inst = np.zeros((h, w), np.int32)
+            label[20:44, 16:48] = 6
+            inst[20:44, 16:48] = 6000 + i
+            img = rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8)
+            Image.fromarray(label).save(root / f"{phase}_label" / f"{i}.png")
+            Image.fromarray(inst, mode="I").save(root / f"{phase}_inst" / f"{i}.png")
+            Image.fromarray(img).save(root / f"{phase}_img" / f"{i}.png")
+    return str(root)
+
+
+def common_flags(dataroot, tmp_path, name):
+    return [
+        "--name", name,
+        "--dataroot", dataroot,
+        "--checkpoints_dir", os.path.join(str(tmp_path), "ckpt"),
+        "--label_nc", "8",
+        "--ngf", "8", "--ndf", "8",
+        "--n_downsample_global", "2", "--n_blocks_global", "1",
+        "--n_layers_D", "2", "--num_D", "1",
+        "--resize_or_crop", "none", "--no_flip",
+        "--batchSize", "1", "--serial_batches",
+        "--nThreads", "1",
+    ]
+
+
+def test_box2mask_train_and_test_cli(dataroot, tmp_path):
+    from neurips18_hierchical_image_manipulation_tpu.cli import (
+        box2mask_test,
+        box2mask_train,
+    )
+
+    flags = common_flags(dataroot, tmp_path, "b2m") + [
+        "--fineSize", "32",
+        "--min_box_size", "4",
+        "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "1", "--display_freq", "2",
+        "--save_epoch_freq", "1", "--save_latest_freq", "2",
+        "--no_vgg_loss",
+    ]
+    box2mask_train.main(flags)
+    ckdir = os.path.join(str(tmp_path), "ckpt", "b2m")
+    assert os.path.exists(os.path.join(ckdir, "opt.txt"))
+    assert os.path.exists(os.path.join(ckdir, "loss_log.txt"))
+    assert os.path.isdir(os.path.join(ckdir, "ckpt", "latest"))
+    assert os.path.isdir(os.path.join(ckdir, "web"))
+
+    test_flags = common_flags(dataroot, tmp_path, "b2m") + [
+        "--fineSize", "32",
+        "--min_box_size", "4",
+        "--results_dir", os.path.join(str(tmp_path), "results"),
+        "--how_many", "2",
+    ]
+    box2mask_test.main(test_flags)
+    out = os.path.join(str(tmp_path), "results", "b2m", "test_latest", "index.html")
+    assert os.path.exists(out)
+
+
+def test_mask2image_train_and_test_cli(dataroot, tmp_path):
+    from neurips18_hierchical_image_manipulation_tpu.cli import (
+        mask2image_test,
+        mask2image_train,
+    )
+
+    flags = common_flags(dataroot, tmp_path, "m2i") + [
+        "--fineSize", "64",
+        "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "1", "--display_freq", "2",
+        "--save_epoch_freq", "1", "--save_latest_freq", "2",
+        "--no_vgg_loss",
+    ]
+    mask2image_train.main(flags)
+    ckdir = os.path.join(str(tmp_path), "ckpt", "m2i")
+    assert os.path.isdir(os.path.join(ckdir, "ckpt", "latest"))
+
+    test_flags = common_flags(dataroot, tmp_path, "m2i") + [
+        "--fineSize", "64",
+        "--results_dir", os.path.join(str(tmp_path), "results"),
+        "--how_many", "2",
+    ]
+    mask2image_test.main(test_flags)
+    out = os.path.join(str(tmp_path), "results", "m2i", "test_latest", "index.html")
+    assert os.path.exists(out)
