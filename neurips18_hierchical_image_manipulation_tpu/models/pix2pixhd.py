@@ -150,6 +150,17 @@ class Pix2PixHDModel:
         }
         return total, (metrics, fake)
 
+    def d_losses(self, params, batch, fake):
+        """D-only objective against a (possibly pool-replayed) fake —
+        the second half of the pool_size>0 split step (SURVEY C20)."""
+        opt = self.opt
+        _, cond, real = self.encode_input(batch)
+        use_lsgan = not opt.no_lsgan
+        d_real = self.netD.apply(params["D"], jnp.concatenate([cond, real], axis=-1))
+        d_fake = self.netD.apply(params["D"], jnp.concatenate([cond, fake], axis=-1))
+        loss_d, loss_d_real, loss_d_fake = discriminator_loss(d_real, d_fake, use_lsgan)
+        return loss_d, {"D_real": loss_d_real, "D_fake": loss_d_fake}
+
     # ---- inference (SURVEY §4.3) ----
 
     def inference(self, params, batch):

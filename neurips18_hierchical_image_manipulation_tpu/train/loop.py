@@ -47,7 +47,24 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
         print(f"resumed from {opt.which_epoch} at epoch {start_epoch}")
 
     compute_dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else None
-    if mesh is not None:
+    pool = None
+    if getattr(opt, "pool_size", 0) > 0 and hasattr(model, "d_losses"):
+        # split G/D steps with a host-side fake replay buffer (C20)
+        from ..utils.image_pool import ImagePool
+
+        pool = ImagePool(opt.pool_size, seed=opt.seed)
+        g_step, d_step = train_steps.make_pooled_train_steps(
+            model, vgg_params=vgg_params, compute_dtype=compute_dtype
+        )
+
+        def step_fn(state, batch):
+            state, metrics, fake = g_step(state, batch)
+            pooled = jnp.asarray(pool.query(np.asarray(jax.device_get(fake))))
+            state, d_metrics = d_step(state, batch, pooled)
+            metrics = {**metrics, **d_metrics}
+            return state, metrics, fake
+
+    elif mesh is not None:
         step_fn = train_steps.make_dp_train_step(
             model, mesh, vgg_params=vgg_params, compute_dtype=compute_dtype
         )

@@ -67,6 +67,75 @@ def make_train_step(model, vgg_params=None, donate=True, compute_dtype=None):
     return step
 
 
+def make_pooled_train_steps(model, vgg_params=None, compute_dtype=None):
+    """pool_size>0 path (SURVEY.md C20): the reference feeds D a REPLAYED
+    fake from the ImagePool while G trains against the fresh fake. Split
+    into two jitted steps with the host-side pool between them:
+
+      g_step(state, batch)            -> state', metrics_G, fake
+      d_step(state, batch, fake_pool) -> state', metrics_D
+
+    Semantics match the fused step when the pool is passthrough."""
+
+    def g_loss(params_g, params_d, batch, vgg):
+        model_params = {"G": params_g, "D": jax.tree.map(lax.stop_gradient, params_d)}
+        total, (metrics, fake) = model.losses(model_params, batch, vgg_params=vgg)
+        g_metrics = {k: v for k, v in metrics.items() if k.startswith("G")}
+        g_total = sum(g_metrics.values())
+        return jnp.asarray(g_total, jnp.float32), (metrics, fake)
+
+    def cast_in(params, batch, vgg):
+        if compute_dtype is not None and compute_dtype != jnp.float32:
+            params = _cast_floats(params, compute_dtype)
+            batch = _cast_floats(batch, compute_dtype)
+            vgg = _cast_floats(vgg, compute_dtype) if vgg else None
+        return params, batch, vgg
+
+    @jax.jit
+    def g_step(state, batch):
+        def loss(pg):
+            params, b, vgg = cast_in(
+                {"G": pg, "D": state.params["D"]}, batch, vgg_params
+            )
+            return g_loss(params["G"], params["D"], b, vgg)
+
+        grads, (metrics, fake) = jax.grad(loss, has_aux=True)(state.params["G"])
+        upd, new_og = state.tx_g.update(grads, state.opt_state_g, state.params["G"])
+        import optax as _optax
+
+        new_params = dict(state.params)
+        new_params["G"] = _optax.apply_updates(state.params["G"], upd)
+        return (
+            state.replace(params=new_params, opt_state_g=new_og, step=state.step + 1),
+            metrics,
+            fake,
+        )
+
+    @jax.jit
+    def d_step(state, batch, fake_pool):
+        def loss(pd):
+            params, b, vgg = cast_in(
+                {"G": state.params["G"], "D": pd}, batch, vgg_params
+            )
+            fp = (
+                fake_pool.astype(compute_dtype)
+                if compute_dtype is not None and compute_dtype != jnp.float32
+                else fake_pool
+            )
+            total, metrics = model.d_losses(params, b, lax.stop_gradient(fp))
+            return jnp.asarray(total, jnp.float32), metrics
+
+        grads, metrics = jax.grad(loss, has_aux=True)(state.params["D"])
+        upd, new_od = state.tx_d.update(grads, state.opt_state_d, state.params["D"])
+        import optax as _optax
+
+        new_params = dict(state.params)
+        new_params["D"] = _optax.apply_updates(state.params["D"], upd)
+        return state.replace(params=new_params, opt_state_d=new_od), metrics
+
+    return g_step, d_step
+
+
 def make_dp_train_step(
     model, mesh: Mesh, vgg_params=None, axis: str = "data", compute_dtype=None
 ):
