@@ -14,6 +14,11 @@ import jax.numpy as jnp
 def _single(pred, target_is_real, use_lsgan):
     target = 1.0 if target_is_real else 0.0
     if use_lsgan:
+        from ..ops.pallas import config as pallas_config
+        from ..ops.pallas.losses import mse_to_scalar
+
+        if pallas_config.losses_enabled():
+            return mse_to_scalar(pred - target)
         return jnp.mean(jnp.square(pred - target))
     # vanilla: BCE with logits
     # -[t*log(sigmoid(x)) + (1-t)*log(1-sigmoid(x))], stable form

@@ -16,9 +16,17 @@ VGG_WEIGHTS = (1.0 / 32, 1.0 / 16, 1.0 / 8, 1.0 / 4, 1.0)
 
 def vgg_loss(vgg_apply, vgg_params, fake, real):
     """vgg_apply: Vgg19Features.apply; fake/real: (B,H,W,3) in [-1,1]."""
+    from ..ops.pallas import config as pallas_config
+    from ..ops.pallas.losses import l1_to_scalar
+
+    use_pallas = pallas_config.losses_enabled()
+
+    def mean_abs(diff):
+        return l1_to_scalar(diff) if use_pallas else jnp.mean(jnp.abs(diff))
+
     taps_fake = vgg_apply(vgg_params, fake)
     taps_real = vgg_apply(vgg_params, lax.stop_gradient(real))
     loss = 0.0
     for w, tf_, tr in zip(VGG_WEIGHTS, taps_fake, taps_real):
-        loss = loss + w * jnp.mean(jnp.abs(tf_ - lax.stop_gradient(tr)))
+        loss = loss + w * mean_abs(tf_ - lax.stop_gradient(tr))
     return loss

@@ -9,6 +9,9 @@ from __future__ import annotations
 
 
 def create_model(opt):
+    from ..ops.pallas import config as pallas_config
+
+    pallas_config.set_enabled(not getattr(opt, "no_pallas", False))
     if opt.model == "pix2pixHD":
         from .pix2pixhd import Pix2PixHDModel
 

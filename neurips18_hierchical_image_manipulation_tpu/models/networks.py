@@ -78,7 +78,15 @@ class ConvTranspose(nn.Module):
 
 def norm_act(x, norm: str = "instance", act: str = "relu"):
     if norm == "instance":
-        x = nnops.instance_norm(x)
+        from ..ops.pallas import config as pallas_config
+        from ..ops.pallas.instance_norm import fused_instance_norm
+
+        if pallas_config.enabled():
+            x = fused_instance_norm(x, relu=(act == "relu"))
+            if act == "relu":
+                return x
+        else:
+            x = nnops.instance_norm(x)
     elif norm != "none":
         raise ValueError(f"unsupported norm: {norm}")
     if act == "relu":
@@ -105,6 +113,11 @@ class ResnetBlock(nn.Module):
         h = nnops.reflect_pad(h, 1)
         h = Conv(self.dim, 3, name="conv2")(h)
         if self.norm == "instance":
+            from ..ops.pallas import config as pallas_config
+            from ..ops.pallas.instance_norm import fused_instance_norm
+
+            if pallas_config.enabled():
+                return fused_instance_norm(h, residual=x)
             h = nnops.instance_norm(h)
         return x + h
 

@@ -1,0 +1,52 @@
+"""Global Pallas-tier switch (the ``--no_pallas`` escape hatch).
+
+The lax path is the always-available reference tier (SURVEY.md §8 M5:
+"keep the lax path as a --no_pallas fallback forever"); kernels activate
+only on the TPU backend (or under interpreter mode in tests).
+"""
+
+from __future__ import annotations
+
+import jax
+
+_ENABLED = True
+
+# Per-kernel gates, set from v5e measurements (see kernel docstrings):
+#   instance-norm fusion wins (0.62ms vs 0.84ms fwd at the resblock
+#   bottleneck) -> on; the scalar loss reductions LOSE to XLA's native
+#   reduction pipeline (3.4ms vs 1.4ms on a 134MB operand) -> off. They
+#   stay implemented + golden-tested as the tuning surface for later
+#   rounds.
+_LOSS_KERNELS = False
+
+
+def set_enabled(flag: bool) -> None:
+    global _ENABLED
+    _ENABLED = bool(flag)
+
+
+def set_loss_kernels(flag: bool) -> None:
+    global _LOSS_KERNELS
+    _LOSS_KERNELS = bool(flag)
+
+
+def _backend_ok(interpret: bool) -> bool:
+    return interpret or jax.default_backend() == "tpu"
+
+
+def enabled() -> bool:
+    if not _ENABLED:
+        return False
+    from . import instance_norm
+
+    return _backend_ok(instance_norm.INTERPRET)
+
+
+def losses_enabled() -> bool:
+    if not _ENABLED:
+        return False
+    from . import losses
+
+    if losses.INTERPRET:
+        return True
+    return _LOSS_KERNELS and jax.default_backend() == "tpu"

@@ -1,0 +1,117 @@
+"""Golden tests for the Pallas kernel tier (interpreter mode on CPU CI;
+the same kernels compile natively on TPU — SURVEY §5.1)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+from neurips18_hierchical_image_manipulation_tpu.ops.pallas import instance_norm as pin
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode():
+    old = pin.INTERPRET
+    pin.INTERPRET = True
+    yield
+    pin.INTERPRET = old
+
+
+def ref_in(x, relu=False, residual=None):
+    y = nnops.instance_norm(x)
+    if residual is not None:
+        y = y + residual
+    if relu:
+        y = jnp.maximum(y, 0)
+    return y
+
+
+@pytest.mark.parametrize("relu", [False, True])
+@pytest.mark.parametrize("shape", [(2, 8, 16, 128), (1, 8, 8, 64)])
+def test_fused_in_forward(rng, relu, shape):
+    x = jnp.asarray(rng.randn(*shape).astype(np.float32) * 2 + 0.5)
+    got = pin.fused_instance_norm(x, relu=relu)
+    want = ref_in(x, relu=relu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+def test_fused_in_residual(rng):
+    x = jnp.asarray(rng.randn(1, 8, 8, 128).astype(np.float32))
+    r = jnp.asarray(rng.randn(1, 8, 8, 128).astype(np.float32))
+    got = pin.fused_instance_norm(x, relu=True, residual=r)
+    want = ref_in(x, relu=True, residual=r)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("relu", [False, True])
+def test_fused_in_grad(rng, relu):
+    x = jnp.asarray(rng.randn(1, 8, 8, 128).astype(np.float32))
+    g = jnp.asarray(rng.randn(1, 8, 8, 128).astype(np.float32))
+
+    def f_pallas(x):
+        return jnp.sum(pin.fused_instance_norm(x, relu=relu) * g)
+
+    def f_ref(x):
+        return jnp.sum(ref_in(x, relu=relu) * g)
+
+    dx_pallas = jax.grad(f_pallas)(x)
+    dx_ref = jax.grad(f_ref)(x)
+    np.testing.assert_allclose(
+        np.asarray(dx_pallas), np.asarray(dx_ref), atol=3e-5, rtol=1e-4
+    )
+
+
+def test_fused_in_bf16_io(rng):
+    x = jnp.asarray(rng.randn(1, 8, 8, 128).astype(np.float32)).astype(jnp.bfloat16)
+    got = pin.fused_instance_norm(x, relu=True)
+    assert got.dtype == jnp.bfloat16
+    want = ref_in(x, relu=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32), atol=3e-2
+    )
+
+
+def test_multi_chunk_accumulation(rng):
+    """Force several HW chunks so the cross-grid-step accumulators are
+    actually exercised (hw 4096 x c 128 fp32 > 4MB budget -> >1 chunk)."""
+    x = jnp.asarray(rng.randn(1, 64, 128, 128).astype(np.float32))
+    got = pin.fused_instance_norm(x)
+    want = ref_in(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-4)
+
+
+# ---- fused loss reduction kernels ----
+
+from neurips18_hierchical_image_manipulation_tpu.ops.pallas import losses as ploss
+
+
+@pytest.fixture(autouse=True)
+def interpret_losses():
+    old = ploss.INTERPRET
+    ploss.INTERPRET = True
+    yield
+    ploss.INTERPRET = old
+
+
+@pytest.mark.parametrize("shape", [(8, 32, 64, 1), (3, 7, 5), (1000,)])
+def test_mse_to_scalar(rng, shape):
+    d = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    got = ploss.mse_to_scalar(d)
+    np.testing.assert_allclose(float(got), float(jnp.mean(d * d)), rtol=1e-6)
+
+
+@pytest.mark.parametrize("shape", [(4, 16, 16, 32), (999,)])
+def test_l1_to_scalar(rng, shape):
+    d = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    got = ploss.l1_to_scalar(d)
+    np.testing.assert_allclose(float(got), float(jnp.mean(jnp.abs(d))), rtol=1e-6)
+
+
+def test_loss_kernel_grads(rng):
+    d = jnp.asarray(rng.randn(4, 8, 128).astype(np.float32))
+    g_mse = jax.grad(lambda x: ploss.mse_to_scalar(x))(d)
+    np.testing.assert_allclose(np.asarray(g_mse), 2 * np.asarray(d) / d.size, rtol=1e-6)
+    g_l1 = jax.grad(lambda x: ploss.l1_to_scalar(x))(d)
+    np.testing.assert_allclose(np.asarray(g_l1), np.sign(np.asarray(d)) / d.size, rtol=1e-6)
