@@ -28,24 +28,16 @@ from .cityscapes import AlignedDataset
 
 
 def bboxes_from_instance_map(inst: np.ndarray, min_size=16, max_size=10_000):
-    """(H,W) instance ids -> list of {cls, bbox=(y0,x0,h,w)} for thing ids."""
+    """(H,W) instance ids -> list of {cls, bbox=(y0,x0,h,w)} for thing ids.
+    Single O(H*W) pass in C++ (data/native.py), numpy fallback inside."""
+    from . import native
+
     records = []
-    for iid in np.unique(inst):
-        if iid < 1000:
-            continue
-        ys, xs = np.nonzero(inst == iid)
-        y0, y1 = ys.min(), ys.max() + 1
-        x0, x1 = xs.min(), xs.max() + 1
-        h, w = int(y1 - y0), int(x1 - x0)
+    for rec in native.extract_bboxes(inst, min_id=1000):
+        h, w = rec["bbox"][2], rec["bbox"][3]
         if min(h, w) < min_size or max(h, w) > max_size:
             continue
-        records.append(
-            {
-                "cls": int(iid // 1000),
-                "inst_id": int(iid),
-                "bbox": [int(y0), int(x0), h, w],
-            }
-        )
+        records.append(rec)
     return records
 
 

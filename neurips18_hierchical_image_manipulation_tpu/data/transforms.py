@@ -61,5 +61,10 @@ def apply_transform(img: Image.Image, opt, params, method=Image.BICUBIC):
 
 
 def normalize_rgb(arr: np.ndarray) -> np.ndarray:
-    """uint8 HWC -> float32 [-1,1] (Normalize(0.5, 0.5))."""
+    """uint8 HWC -> float32 [-1,1] (Normalize(0.5, 0.5)); C++ LUT kernel
+    with numpy fallback (data/native.py)."""
+    from . import native
+
+    if arr.dtype == np.uint8:
+        return native.u8_to_pm1(arr)
     return arr.astype(np.float32) / 127.5 - 1.0

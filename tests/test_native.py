@@ -1,0 +1,60 @@
+"""C++ data-IO kernels vs numpy fallbacks (both paths exercised)."""
+
+import numpy as np
+import pytest
+
+from neurips18_hierchical_image_manipulation_tpu.data import native
+
+
+def test_native_builds():
+    assert native.available(), "g++ build of libhimandataio.so failed"
+
+
+def test_extract_bboxes_matches_numpy(rng):
+    inst = np.zeros((64, 96), np.int32)
+    inst[10:30, 20:50] = 26001
+    inst[40:60, 5:25] = 24000
+    inst[15:20, 60:90] = 33002
+    recs = native.extract_bboxes(inst)
+    assert [r["inst_id"] for r in recs] == [24000, 26001, 33002]
+    by_id = {r["inst_id"]: r for r in recs}
+    assert by_id[26001]["bbox"] == [10, 20, 20, 30]
+    assert by_id[26001]["cls"] == 26
+    assert by_id[24000]["bbox"] == [40, 5, 20, 20]
+    # parity with the pure-python path in data/bbox.py
+    from neurips18_hierchical_image_manipulation_tpu.data.bbox import (
+        bboxes_from_instance_map,
+    )
+
+    py = bboxes_from_instance_map(inst, min_size=1)
+    got = sorted(
+        [(r["inst_id"], tuple(r["bbox"])) for r in recs if min(r["bbox"][2:]) >= 1]
+    )
+    want = sorted([(r["inst_id"], tuple(r["bbox"])) for r in py])
+    assert got == want
+
+
+def test_u8_to_pm1(rng):
+    img = rng.randint(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    out = native.u8_to_pm1(img)
+    np.testing.assert_allclose(out, img.astype(np.float32) / 127.5 - 1.0, atol=1e-6)
+    assert out.dtype == np.float32
+
+
+def test_nearest_resize_i32(rng):
+    arr = rng.randint(0, 35, size=(16, 24)).astype(np.int32)
+    out = native.nearest_resize_i32(arr, 8, 12)
+    # PIL-NEAREST oracle
+    from PIL import Image
+
+    ref = np.asarray(
+        Image.fromarray(arr, mode="I").resize((12, 8), Image.NEAREST), np.int32
+    )
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_box_mask(rng):
+    m = native.box_mask_f32(10, 12, 2, 3, 4, 5)
+    assert m.shape == (10, 12, 1)
+    assert m.sum() == 20
+    assert m[2, 3, 0] == 1.0 and m[6, 3, 0] == 0.0
