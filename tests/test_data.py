@@ -121,7 +121,8 @@ def test_bbox_crop_dataset(dataroot, tmp_path):
 
 
 def test_loader_batching(dataroot, tmp_path):
-    opt = m2i_opt(dataroot, str(tmp_path))
+    # plain full-scene aligned loading (pix2pixHD mode, no bbox windows)
+    opt = m2i_opt(dataroot, str(tmp_path), use_bbox_dataset=False)
     loader = CreateDataLoader(opt)
     batches = list(loader)
     assert len(batches) == 1  # 3 samples, bs 2, drop_last
