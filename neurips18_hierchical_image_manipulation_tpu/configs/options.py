@@ -121,6 +121,10 @@ class TrainOptions(BaseOptions):
     beta1: float = 0.5
     lr: float = 0.0002
 
+    # profiling (SURVEY §6.1): one jax.profiler trace is captured around
+    # step 20 when set; view with tensorboard-plugin-profile
+    profile_dir: str = ""
+
     # losses
     lambda_feat: float = 10.0
     no_ganFeat_loss: bool = False

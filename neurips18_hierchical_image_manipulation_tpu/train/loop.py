@@ -74,7 +74,13 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
             model, vgg_params=vgg_params, compute_dtype=compute_dtype
         )
 
+    from .profiler import ThroughputMeter, trace
+
+    n_chips = mesh.devices.size if mesh is not None else 1
+    meter = ThroughputMeter(opt.batchSize, n_chips, window=opt.print_freq)
+
     total_steps = int(state.step)
+    profile_dir = getattr(opt, "profile_dir", "")
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
         epoch_start = time.time()
         for i, host_batch in enumerate(loader):
@@ -82,11 +88,15 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
             batch = _device_batch(host_batch)
             if mesh is not None:
                 batch = train_steps.shard_batch(batch, mesh)
-            state, metrics, fake = step_fn(state, batch)
+            with trace(profile_dir if total_steps == 20 else None):
+                state, metrics, fake = step_fn(state, batch)
             total_steps += 1
+            ips = meter.tick()
 
             if total_steps % opt.print_freq == 0:
                 errors = {k: float(v) for k, v in metrics.items()}
+                if ips:
+                    errors["img_per_s_per_chip"] = ips
                 visualizer.print_current_errors(
                     epoch, i + 1, errors, time.time() - iter_start
                 )
