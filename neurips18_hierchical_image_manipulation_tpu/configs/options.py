@@ -223,7 +223,15 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
             continue
         default = f.default if f.default is not dataclasses.MISSING else None
         if f.type in ("bool", bool) or isinstance(default, bool):
-            parser.add_argument(f"--{f.name}", action="store_true", default=default)
+            group = parser.add_mutually_exclusive_group()
+            group.add_argument(
+                f"--{f.name}", dest=f.name, action="store_true", default=default
+            )
+            # negation so True-default booleans (e.g. use_masked_image)
+            # stay reachable from the CLI
+            group.add_argument(
+                f"--no-{f.name}", dest=f.name, action="store_false"
+            )
         else:
             typ = type(default) if default is not None else str
             parser.add_argument(f"--{f.name}", type=typ, default=default)

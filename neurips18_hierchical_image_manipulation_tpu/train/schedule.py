@@ -14,7 +14,7 @@ def linear_decay_schedule(lr0: float, niter: int, niter_decay: int, steps_per_ep
         # 1-indexed epoch niter+1 still runs at lr0 and epoch niter+2 runs
         # at lr0*(1 - 1/niter_decay): decay count = max(epoch0 - niter, 0).
         decay_epochs = jnp.maximum(epoch - niter, 0)
-        lr = lr0 * (1.0 - decay_epochs.astype(jnp.float32) / niter_decay)
+        lr = lr0 * (1.0 - decay_epochs.astype(jnp.float32) / max(niter_decay, 1))
         return jnp.maximum(lr, 0.0)
 
     return schedule

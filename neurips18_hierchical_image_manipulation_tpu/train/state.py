@@ -51,13 +51,45 @@ class GANTrainState(struct.PyTreeNode):
         )
 
 
+def _freeze_paths_until(threshold_steps: int, match: str):
+    """optax wrapper: zero the updates of params whose path contains
+    ``match`` while the internal step count is below ``threshold_steps``
+    — implements the reference's --niter_fix_global (train only the local
+    enhancer branch first, SURVEY.md §3.3/C15)."""
+    import jax
+    import jax.numpy as jnp
+
+    def init(params):
+        return jnp.zeros((), jnp.int32)
+
+    def update(updates, state, params=None):
+        def mask(path, u):
+            keys = "/".join(str(getattr(k, "key", k)) for k in path)
+            if match in keys:
+                keep = (state >= threshold_steps).astype(u.dtype)
+                return u * keep
+            return u
+
+        new_updates = jax.tree_util.tree_map_with_path(mask, updates)
+        return new_updates, state + 1
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizers(opt, steps_per_epoch: int):
     """Adam pair with the reference's LR schedule baked in as an optax
     schedule over *steps* (the reference decays per epoch — identical
-    piecewise-constant values when steps_per_epoch matches)."""
+    piecewise-constant values when steps_per_epoch matches). When
+    ``niter_fix_global`` > 0 and netG is the LocalEnhancer, the global
+    trunk's updates are zeroed for the first niter_fix_global epochs."""
     from .schedule import linear_decay_schedule
 
     sched = linear_decay_schedule(opt.lr, opt.niter, opt.niter_decay, steps_per_epoch)
     tx_g = optax.adam(sched, b1=opt.beta1, b2=0.999)
+    if getattr(opt, "niter_fix_global", 0) > 0 and getattr(opt, "netG", "") == "local":
+        tx_g = optax.chain(
+            tx_g,
+            _freeze_paths_until(opt.niter_fix_global * steps_per_epoch, "global"),
+        )
     tx_d = optax.adam(sched, b1=opt.beta1, b2=0.999)
     return tx_g, tx_d
