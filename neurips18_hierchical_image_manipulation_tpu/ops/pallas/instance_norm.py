@@ -48,16 +48,20 @@ _BLOCK_BYTES = 3 * 1024 * 1024
 
 
 def _pick_chunks(hw: int, c: int, dtype_bytes: int):
-    """Choose (hw_chunk, c_block) tiles that fit the VMEM budget."""
+    """Choose (hw_chunk, c_block) tiles that fit the VMEM budget, or
+    return None when no TPU-tileable chunking exists (sublane dim must be
+    a multiple of 8 or the whole hw — odd D feature-map sizes like 129x65
+    fall back to lax)."""
     cblk = min(c, 128 if c % 128 == 0 else c)
-    hchunk = max(1, min(hw, _BLOCK_BYTES // max(1, cblk * dtype_bytes)))
+    max_chunk = max(1, _BLOCK_BYTES // max(1, cblk * dtype_bytes))
+    if hw <= max_chunk:
+        return hw, cblk  # whole hw in one chunk — always legal
+    hchunk = max_chunk - max_chunk % 8
+    while hchunk >= 8 and hw % hchunk != 0:
+        hchunk -= 8
     if hchunk >= 8:
-        hchunk -= hchunk % 8
-    while hw % hchunk != 0:
-        hchunk -= 8 if hchunk > 8 else 1
-        if hchunk <= 0:
-            return hw, cblk
-    return hchunk, cblk
+        return hchunk, cblk
+    return None
 
 
 def _fwd_kernel(x_ref, o_ref, mean_ref, rstd_ref, ssum, ssq, mean_s, rstd_s,
@@ -229,8 +233,9 @@ def fused_instance_norm(x, relu=False, residual=None, use_pallas=True):
     off-TPU or when use_pallas=False. Differentiable in both paths."""
     n, h, w, c = x.shape
     # profitability gate (measured on v5e): the kernel wins when channels
-    # fill the 128-lane registers; at c<128 XLA's fusion is faster
-    shape_ok = c % 128 == 0
+    # fill the 128-lane registers; at c<128 XLA's fusion is faster. Also
+    # require a legal TPU chunking of the spatial axis.
+    shape_ok = c % 128 == 0 and _pick_chunks(h * w, c, x.dtype.itemsize) is not None
     if (
         not use_pallas
         or not shape_ok
