@@ -42,9 +42,10 @@ _EPS = 1e-5
 # set True (tests) to run kernels in interpreter mode on non-TPU backends
 INTERPRET = False
 
-# per-block VMEM budget; pallas double-buffers in+out blocks, so keep
-# 2*(in+out) + scratch under the ~16MB scoped-vmem limit: 2*(3+3)=12MB
-_BLOCK_BYTES = 3 * 1024 * 1024
+# per-block VMEM budget; pallas double-buffers every in/out block, and the
+# BACKWARD kernel has three big blocks (x, g, dx): 2*3*2MB = 12MB + stats
+# stays under the 16MB scoped-vmem limit
+_BLOCK_BYTES = 2 * 1024 * 1024
 
 
 def _pick_chunks(hw: int, c: int, dtype_bytes: int):
