@@ -79,6 +79,7 @@ class BaseOptions:
     no_pallas: bool = False
     mesh_devices: int = 0  # 0 = use every local device
     seed: int = 0
+    debug_nans: bool = False  # SURVEY §6.2: jax_debug_nans for CI runs
 
     isTrain: bool = field(default=False, init=False)
 

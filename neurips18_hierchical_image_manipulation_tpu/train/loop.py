@@ -27,6 +27,8 @@ def _device_batch(batch: Dict[str, np.ndarray]):
 
 def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None):
     """Generic two-stage GAN training loop used by both CLI drivers."""
+    if getattr(opt, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)  # SURVEY §6.2
     visualizer = Visualizer(opt)
     ckpt = CheckpointManager(opt)
 
