@@ -42,19 +42,20 @@ _EPS = 1e-5
 # set True (tests) to run kernels in interpreter mode on non-TPU backends
 INTERPRET = False
 
-# per-block VMEM budget; pallas double-buffers every in/out block, and the
-# BACKWARD kernel has three big blocks (x, g, dx): 2*3*2MB = 12MB + stats
-# stays under the 16MB scoped-vmem limit
+# per-block VMEM budgets; Mosaic multi-buffers every in/out block, and the
+# BACKWARD kernel has three big blocks (x, g, dx) — measured stack usage is
+# ~2.5x the naive 2x estimate, so the backward gets a smaller budget
 _BLOCK_BYTES = 2 * 1024 * 1024
+_BWD_BLOCK_BYTES = 768 * 1024
 
 
-def _pick_chunks(hw: int, c: int, dtype_bytes: int):
+def _pick_chunks(hw: int, c: int, dtype_bytes: int, budget=_BLOCK_BYTES):
     """Choose (hw_chunk, c_block) tiles that fit the VMEM budget, or
     return None when no TPU-tileable chunking exists (sublane dim must be
     a multiple of 8 or the whole hw — odd D feature-map sizes like 129x65
     fall back to lax)."""
     cblk = min(c, 128 if c % 128 == 0 else c)
-    max_chunk = max(1, _BLOCK_BYTES // max(1, cblk * dtype_bytes))
+    max_chunk = max(1, budget // max(1, cblk * dtype_bytes))
     if hw <= max_chunk:
         return hw, cblk  # whole hw in one chunk — always legal
     hchunk = max_chunk - max_chunk % 8
@@ -177,7 +178,7 @@ def _bwd_kernel(x_ref, g_ref, mean_ref, rstd_ref, dx_ref, gsum, gxsum,
 
 def _run_bwd(x3, g3, mean, rstd):
     n, hw, c = x3.shape
-    hchunk, cblk = _pick_chunks(hw, c, x3.dtype.itemsize)
+    hchunk, cblk = _pick_chunks(hw, c, x3.dtype.itemsize, budget=_BWD_BLOCK_BYTES)
     nchunks = hw // hchunk
 
     def idx(i, cb, pc):
@@ -236,7 +237,12 @@ def fused_instance_norm(x, relu=False, residual=None, use_pallas=True):
     # profitability gate (measured on v5e): the kernel wins when channels
     # fill the 128-lane registers; at c<128 XLA's fusion is faster. Also
     # require a legal TPU chunking of the spatial axis.
-    shape_ok = c % 128 == 0 and _pick_chunks(h * w, c, x.dtype.itemsize) is not None
+    shape_ok = (
+        c % 128 == 0
+        and _pick_chunks(h * w, c, x.dtype.itemsize) is not None
+        and _pick_chunks(h * w, c, x.dtype.itemsize, budget=_BWD_BLOCK_BYTES)
+        is not None
+    )
     if (
         not use_pallas
         or not shape_ok
