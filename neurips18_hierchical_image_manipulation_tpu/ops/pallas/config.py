@@ -12,17 +12,27 @@ import jax
 _ENABLED = True
 
 # Per-kernel gates, set from v5e measurements (see kernel docstrings):
-#   instance-norm fusion wins (0.62ms vs 0.84ms fwd at the resblock
-#   bottleneck) -> on; the scalar loss reductions LOSE to XLA's native
-#   reduction pipeline (3.4ms vs 1.4ms on a 134MB operand) -> off. They
-#   stay implemented + golden-tested as the tuning surface for later
-#   rounds.
+#   * instance-norm fusion wins ISOLATED (0.62ms vs 0.84ms fwd at the
+#     resblock bottleneck) but LOSES composed into the full jitted train
+#     step (56.0 vs 60.1 img/s at bf16+VGG bs8) — the custom call is a
+#     fusion barrier for XLA and its saved residuals add HBM traffic.
+#   * the scalar loss reductions lose to XLA's native reduction pipeline
+#     (3.4ms vs 1.4ms on a 134MB operand).
+# Both default OFF and stay implemented + golden-tested as the tuning
+# surface for later rounds (conv+IN fusion INSIDE one kernel is the next
+# step that could actually beat XLA here).
+_IN_KERNEL = False
 _LOSS_KERNELS = False
 
 
 def set_enabled(flag: bool) -> None:
     global _ENABLED
     _ENABLED = bool(flag)
+
+
+def set_in_kernel(flag: bool) -> None:
+    global _IN_KERNEL
+    _IN_KERNEL = bool(flag)
 
 
 def set_loss_kernels(flag: bool) -> None:
@@ -39,7 +49,9 @@ def enabled() -> bool:
         return False
     from . import instance_norm
 
-    return _backend_ok(instance_norm.INTERPRET)
+    if instance_norm.INTERPRET:
+        return True
+    return _IN_KERNEL and jax.default_backend() == "tpu"
 
 
 def losses_enabled() -> bool:
