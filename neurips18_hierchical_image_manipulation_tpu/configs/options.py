@@ -80,6 +80,7 @@ class BaseOptions:
     mesh_devices: int = 0  # 0 = use every local device
     seed: int = 0
     debug_nans: bool = False  # SURVEY §6.2: jax_debug_nans for CI runs
+    remat: bool = False  # rematerialize resblocks (trade FLOPs for HBM)
 
     isTrain: bool = field(default=False, init=False)
 

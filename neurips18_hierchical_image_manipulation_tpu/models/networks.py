@@ -132,6 +132,7 @@ class GlobalGenerator(nn.Module):
     n_downsampling: int = 4  # flag default --n_downsample_global 4
     n_blocks: int = 9
     norm: str = "instance"
+    remat: bool = False  # jax.checkpoint each resblock: FLOPs for HBM
 
     @nn.compact
     def __call__(self, x):
@@ -141,8 +142,11 @@ class GlobalGenerator(nn.Module):
         for i in range(self.n_downsampling):
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}")(h)
             h = norm_act(h, self.norm)
+        block_cls = (
+            nn.remat(ResnetBlock) if self.remat else ResnetBlock
+        )
         for i in range(self.n_blocks):
-            h = ResnetBlock(self.ngf * 2**self.n_downsampling, self.norm, name=f"res{i}")(h)
+            h = block_cls(self.ngf * 2**self.n_downsampling, self.norm, name=f"res{i}")(h)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             h = ConvTranspose(self.ngf * mult // 2, name=f"up{i}")(h)
@@ -471,6 +475,7 @@ def define_G(opt) -> Any:
             n_downsampling=opt.n_downsample_global,
             n_blocks=opt.n_blocks_global,
             norm=opt.norm,
+            remat=getattr(opt, "remat", False),
         )
     if opt.netG == "local":
         return LocalEnhancer(

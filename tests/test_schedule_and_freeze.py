@@ -62,3 +62,30 @@ def test_cli_bool_negation(tmp_path):
     assert opt.use_masked_image is False
     assert opt.use_bbox_dataset is False
     assert opt.no_flip is True
+
+
+def test_remat_generator_matches(rng):
+    """remat=True must not change outputs or grads (only memory)."""
+    import jax
+    import jax.numpy as jnp
+    from neurips18_hierchical_image_manipulation_tpu.models import networks
+
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 16, 16, 4).astype(np.float32))
+    g0 = networks.GlobalGenerator(output_nc=2, ngf=4, n_downsampling=1, n_blocks=2)
+    g1 = networks.GlobalGenerator(output_nc=2, ngf=4, n_downsampling=1, n_blocks=2, remat=True)
+    params = g0.init(jax.random.PRNGKey(0), x)
+    y0 = g0.apply(params, x)
+    y1 = g1.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-6)
+    d0 = jax.grad(lambda p: jnp.sum(g0.apply(p, x) ** 2))(params)
+    d1 = jax.grad(lambda p: jnp.sum(g1.apply(p, x) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(d0), jax.tree.leaves(d1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_maybe_initialize_noop():
+    from neurips18_hierchical_image_manipulation_tpu.parallel.distributed import (
+        maybe_initialize,
+    )
+
+    assert maybe_initialize() is False  # no coordinator env -> no-op
