@@ -21,8 +21,8 @@ documented engineering estimate A100_TORCH_IMG_PER_S = 20.0:
     baseline.
 Target from BASELINE.json: >=5x => vs_baseline >= 5.0.
 
-Measured history (TPU v5e-1, bs=8): fp32 54 img/s; bf16 70.9 (no VGG);
-bf16+VGG 60.1 before Pallas IN fusion.
+Measured history (TPU v5e-1): bs8 fp32 54 img/s; bs8 bf16 70.9 (no VGG);
+bs8 bf16+VGG 60.3; bs16 bf16+VGG 74.6.
 """
 
 import json
@@ -60,7 +60,7 @@ def main():
     # perf mode: MXU-native conv passes (parity tests pin HIGHEST instead)
     nnops.set_default_precision("default")
 
-    batch_size = int(os.environ.get("HIMAN_BENCH_BS", "8"))
+    batch_size = int(os.environ.get("HIMAN_BENCH_BS", "16"))
     opt = MaskToImageTrainOptions(
         name="bench",
         checkpoints_dir="/tmp/himan_bench",

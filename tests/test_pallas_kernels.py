@@ -115,3 +115,57 @@ def test_loss_kernel_grads(rng):
     np.testing.assert_allclose(np.asarray(g_mse), 2 * np.asarray(d) / d.size, rtol=1e-6)
     g_l1 = jax.grad(lambda x: ploss.l1_to_scalar(x))(d)
     np.testing.assert_allclose(np.asarray(g_l1), np.sign(np.asarray(d)) / d.size, rtol=1e-6)
+
+
+# ---- fully-fused conv3x3 + IN (+relu/+residual) kernel ----
+
+from neurips18_hierchical_image_manipulation_tpu.ops.pallas import conv_in as pconv
+
+
+@pytest.fixture(autouse=True)
+def interpret_conv():
+    old = pconv.INTERPRET
+    pconv.INTERPRET = True
+    yield
+    pconv.INTERPRET = old
+
+
+@pytest.mark.parametrize("relu,with_res", [(True, False), (False, True), (False, False)])
+def test_fused_conv_in(rng, relu, with_res):
+    n, h, w, cin, cout = 2, 8, 16, 128, 128
+    x = jnp.asarray(rng.randn(n, h, w, cin).astype(np.float32) * 0.5)
+    w3 = jnp.asarray(rng.randn(3, 3, cin, cout).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(cout).astype(np.float32))
+    res = jnp.asarray(rng.randn(n, h, w, cout).astype(np.float32)) if with_res else None
+    got = pconv.conv3x3_in_act(x, w3, b, relu=relu, residual=res)
+    want = pconv._reference(x, w3, b, res, relu)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5, rtol=1e-4)
+
+
+def test_fused_conv_in_grad(rng):
+    n, h, w, c = 1, 8, 8, 128
+    x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32) * 0.5)
+    w3 = jnp.asarray(rng.randn(3, 3, c, c).astype(np.float32) * 0.05)
+    b = jnp.asarray(rng.randn(c).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+
+    def f_pallas(x, w3, b):
+        return jnp.sum(pconv.conv3x3_in_act(x, w3, b, relu=True) * g)
+
+    def f_ref(x, w3, b):
+        return jnp.sum(pconv._reference(x, w3, b, None, True) * g)
+
+    gp = jax.grad(f_pallas, argnums=(0, 1, 2))(x, w3, b)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(x, w3, b)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5, rtol=1e-4)
+
+
+def test_fused_conv_in_fallback_on_bad_shape(rng):
+    # cout not 128-multiple -> lax fallback, still correct
+    x = jnp.asarray(rng.randn(1, 4, 4, 8).astype(np.float32))
+    w3 = jnp.asarray(rng.randn(3, 3, 8, 24).astype(np.float32) * 0.1)
+    b = jnp.zeros(24)
+    got = pconv.conv3x3_in_act(x, w3, b, relu=True)
+    want = pconv._reference(x, w3, b, None, True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
