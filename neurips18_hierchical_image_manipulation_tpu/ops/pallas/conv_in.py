@@ -15,11 +15,17 @@ Strategy (stride-1, reflect-pad-1, the reference's resblock conv):
     + optional ReLU and a single HBM write.
 
 One x read + one y write total — XLA's graph does conv-write + IN
-read/stats + normalize read/write. The win is forward-only: the custom
-VJP delegates the backward to jax.vjp of the equivalent lax composition
-(recompute-based), so this kernel is wired into the INFERENCE path
-(`use='inference'`) where there is no backward at all; training keeps the
-XLA composition (measured faster end-to-end, see ops/pallas/config.py).
+read/stats + normalize read/write. The custom VJP delegates the backward
+to jax.vjp of the equivalent lax composition (recompute-based).
+
+MEASURED (v5e, bottleneck shape (8,16,32,1024)->1024, bf16): this kernel
+1.38 ms vs 1.02 ms for XLA's conv+IN+ReLU — XLA's convolution emitters
+beat the tap-loop matmul formulation (the 9 VPU shift-adds and the
+(W+2)/W waste outweigh the fusion saving). It therefore ships as a
+correct, tested, GATED op (``use_pallas=False`` falls back; callers must
+opt in) and is NOT wired into networks.py — it is the documented tuning
+surface for a future revisit (e.g. fusing BOTH resblock convs + both INs
+in one kernel, halving intermediate traffic).
 
 Gates: Cin*Cout tile + slab must fit VMEM (deep-layer shapes — the 9
 resblocks at the generator bottleneck are exactly this), Cout % 128 == 0.
