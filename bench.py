@@ -60,7 +60,7 @@ def main():
     # perf mode: MXU-native conv passes (parity tests pin HIGHEST instead)
     nnops.set_default_precision("default")
 
-    batch_size = int(os.environ.get("HIMAN_BENCH_BS", "16"))
+    batch_size = int(os.environ.get("HIMAN_BENCH_BS", "32"))
     opt = MaskToImageTrainOptions(
         name="bench",
         checkpoints_dir="/tmp/himan_bench",
