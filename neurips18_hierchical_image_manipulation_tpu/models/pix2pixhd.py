@@ -53,6 +53,8 @@ class Pix2PixHDModel:
     netD: Any = None
     vgg: Any = None
 
+    netE: Any = None
+
     def __post_init__(self):
         if self.netG is None:
             self.netG = networks.define_G(self.opt)
@@ -60,6 +62,21 @@ class Pix2PixHDModel:
             self.netD = networks.define_D(self.opt)
         if self.vgg is None and self.opt.isTrain and not self.opt.no_vgg_loss:
             self.vgg = networks.Vgg19Features()
+        if self.netE is None and self.use_features():
+            # pix2pixHD instance-feature encoder (C15 Encoder): per-instance
+            # pooled features appended to the G conditioning
+            self.netE = networks.Encoder(
+                feat_num=self.opt.feat_num,
+                nef=self.opt.nef,
+                n_downsampling=self.opt.n_downsample_E,
+                norm=self.opt.norm,
+                label_nc=self.opt.label_nc,
+            )
+
+    def use_features(self):
+        return getattr(self.opt, "instance_feat", False) or getattr(
+            self.opt, "label_feat", False
+        )
 
     # ---- input encoding (SURVEY §3.2 encode_input hot path, on-device) ----
 
@@ -69,9 +86,21 @@ class Pix2PixHDModel:
             nc += 1
         if getattr(self.opt, "use_masked_image", False):
             nc += 3
+        if self.use_features():
+            nc += self.opt.feat_num
         return nc
 
-    def encode_input(self, batch: Dict[str, jnp.ndarray]):
+    def _instance_features(self, params, batch):
+        """Encoder features: per-instance pooled maps from the REAL image
+        at train time (pix2pixHD behavior); at test callers supply
+        ``batch['feat']`` (e.g. cluster-sampled) or we encode the input
+        image when use_encoded_image is set."""
+        if "feat" in batch:
+            return batch["feat"]
+        seg = batch["inst"] if getattr(self.opt, "instance_feat", False) else batch["label"]
+        return self.netE.apply(params["E"], batch["image"], seg)
+
+    def encode_input(self, batch: Dict[str, jnp.ndarray], params=None):
         """batch: label (B,H,W) int ids; inst (B,H,W) int; image (B,H,W,3)
         in [-1,1]; boxes (B,4) optional. Returns (g_input, d_cond, real)."""
         # follow the image dtype so the bf16 policy reaches the one-hot
@@ -87,15 +116,23 @@ class Pix2PixHDModel:
             boxes = batch["boxes"]
             masked = boxcomposite.mask_box(batch["image"], boxes, fill=0.0)
             g_parts.append(masked)
+        if self.use_features() and params is not None:
+            g_parts.append(self._instance_features(params, batch).astype(dt))
         g_input = jnp.concatenate(g_parts, axis=-1) if len(g_parts) > 1 else cond
         return g_input, cond, batch.get("image")
 
     # ---- init ----
 
     def init_params(self, rng, batch):
-        g_input, cond, real = self.encode_input(batch)
-        kg, kd, kv = jax.random.split(rng, 3)
-        params = {"G": self.netG.init(kg, g_input)}
+        kg, kd, kv, ke = jax.random.split(rng, 4)
+        params = {}
+        if self.netE is not None:
+            seg = batch["inst"] if getattr(self.opt, "instance_feat", False) else batch["label"]
+            params["E"] = self.netE.init(ke, batch["image"], seg)
+        g_input, cond, real = self.encode_input(
+            batch, params=params if self.netE is not None else None
+        )
+        params["G"] = self.netG.init(kg, g_input)
         if self.netD is not None:
             d_in = jnp.concatenate([cond, real], axis=-1)
             params["D"] = self.netD.init(kd, d_in)
@@ -107,7 +144,7 @@ class Pix2PixHDModel:
 
     def losses(self, params, batch, vgg_params=None):
         opt = self.opt
-        g_input, cond, real = self.encode_input(batch)
+        g_input, cond, real = self.encode_input(batch, params=params)
         fake = self.netG.apply(params["G"], g_input)
 
         use_lsgan = not opt.no_lsgan
@@ -164,5 +201,7 @@ class Pix2PixHDModel:
     # ---- inference (SURVEY §4.3) ----
 
     def inference(self, params, batch):
-        g_input, _, _ = self.encode_input(batch)
+        g_input, _, _ = self.encode_input(
+            batch, params=params if self.netE is not None else None
+        )
         return self.netG.apply(params["G"], g_input)

@@ -27,10 +27,11 @@ class GANTrainState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, params, tx_g, tx_d, rng):
+        g_side = {k: v for k, v in params.items() if k != "D"}
         return cls(
             step=jax.numpy.zeros((), jax.numpy.int32),
             params=params,
-            opt_state_g=tx_g.init(params["G"]),
+            opt_state_g=tx_g.init(g_side),
             opt_state_d=tx_d.init(params["D"]),
             rng=rng,
             tx_g=tx_g,
@@ -38,10 +39,14 @@ class GANTrainState(struct.PyTreeNode):
         )
 
     def apply_gradients(self, grads):
-        upd_g, new_og = self.tx_g.update(grads["G"], self.opt_state_g, self.params["G"])
+        """optimizer_G covers every non-D subtree (G + the instance-feature
+        Encoder E when present — pix2pixHD trains E jointly with G);
+        optimizer_D covers D."""
+        g_params = {k: v for k, v in self.params.items() if k != "D"}
+        g_grads = {k: v for k, v in grads.items() if k != "D"}
+        upd_g, new_og = self.tx_g.update(g_grads, self.opt_state_g, g_params)
         upd_d, new_od = self.tx_d.update(grads["D"], self.opt_state_d, self.params["D"])
-        new_params = dict(self.params)
-        new_params["G"] = optax.apply_updates(self.params["G"], upd_g)
+        new_params = dict(optax.apply_updates(g_params, upd_g))
         new_params["D"] = optax.apply_updates(self.params["D"], upd_d)
         return self.replace(
             step=self.step + 1,
