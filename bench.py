@@ -74,6 +74,7 @@ def main():
         batchSize=batch_size,
         use_masked_image=True,
         dtype="bfloat16",
+        remat=os.environ.get("HIMAN_BENCH_REMAT", "0") == "1",
     )
     model = create_model(opt)
 
