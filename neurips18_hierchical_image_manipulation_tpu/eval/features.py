@@ -1,0 +1,100 @@
+"""Instance-feature clustering (pix2pixHD encode_features path, SURVEY.md
+C15 Encoder / §3.3 --n_clusters --cluster_path --load_features).
+
+Workflow mirrored from the reference:
+  1. ``encode_dataset_features``: run the trained Encoder over the train
+     set, collecting one pooled feature vector per object instance,
+     grouped by semantic class;
+  2. ``cluster_features``: per-class k-means into ``n_clusters`` centers,
+     saved as an (label_nc, n_clusters, feat_num) array — the
+     ``features_clustered_010.npy`` equivalent;
+  3. ``sample_cluster_features``: at test time, build the (B,H,W,feat_num)
+     feature conditioning map by painting each instance's region with a
+     cluster center of its class (deterministic or PRNG-sampled).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def kmeans(x: np.ndarray, k: int, iters: int = 50, seed: int = 0):
+    """Plain numpy k-means (no sklearn in this environment)."""
+    rng = np.random.RandomState(seed)
+    n = x.shape[0]
+    if n == 0:
+        return np.zeros((k, x.shape[1]), np.float32)
+    centers = x[rng.choice(n, size=min(k, n), replace=False)]
+    if centers.shape[0] < k:  # fewer samples than clusters: repeat
+        reps = -(-k // centers.shape[0])
+        centers = np.tile(centers, (reps, 1))[:k]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        new = centers.copy()
+        for j in range(k):
+            m = assign == j
+            if m.any():
+                new[j] = x[m].mean(0)
+        if np.allclose(new, centers):
+            break
+        centers = new
+    return centers.astype(np.float32)
+
+
+def encode_dataset_features(model, params, loader, max_batches=10_000):
+    """-> dict class_id -> list of feature vectors (one per instance)."""
+    feats: Dict[int, List[np.ndarray]] = {}
+    enc = jax.jit(
+        lambda p, img, inst: model.netE.apply(p["E"], img, inst)
+    )
+    for bi, host_batch in enumerate(loader):
+        if bi >= max_batches:
+            break
+        img = jnp.asarray(host_batch["image"])
+        inst = jnp.asarray(host_batch["inst"])
+        fmap = np.asarray(enc(params, img, inst))  # (B,H,W,F)
+        inst_np = np.asarray(host_batch["inst"])
+        for b in range(fmap.shape[0]):
+            for iid in np.unique(inst_np[b]):
+                if iid < 1000:
+                    continue
+                ys, xs = np.nonzero(inst_np[b] == iid)
+                vec = fmap[b, ys[0], xs[0]]  # constant within instance
+                feats.setdefault(int(iid // 1000), []).append(vec)
+    return feats
+
+
+def cluster_features(feats: Dict[int, List[np.ndarray]], label_nc: int,
+                     n_clusters: int, feat_num: int, seed: int = 0):
+    """-> (label_nc, n_clusters, feat_num) cluster-center array."""
+    out = np.zeros((label_nc, n_clusters, feat_num), np.float32)
+    for cls, vecs in feats.items():
+        if 0 <= cls < label_nc and vecs:
+            out[cls] = kmeans(np.stack(vecs), n_clusters, seed=seed)
+    return out
+
+
+def sample_cluster_features(clusters: np.ndarray, inst: np.ndarray,
+                            rng: np.random.RandomState = None,
+                            cluster_idx: int = 0):
+    """Paint a (B,H,W,F) feature map from per-class cluster centers: every
+    instance region gets one center of its class (random when rng given)."""
+    label_nc, n_clusters, feat_num = clusters.shape
+    b, h, w = inst.shape
+    out = np.zeros((b, h, w, feat_num), np.float32)
+    for i in range(b):
+        for iid in np.unique(inst[i]):
+            if iid < 1000:
+                continue
+            cls = int(iid // 1000)
+            if cls >= label_nc:
+                continue
+            k = rng.randint(n_clusters) if rng is not None else cluster_idx
+            out[i][inst[i] == iid] = clusters[cls, k]
+    return out
