@@ -44,11 +44,27 @@ def main(argv=None):
         web_dir, f"Experiment = {opt.name}, Phase = {opt.phase}, Epoch = {opt.which_epoch}"
     )
 
+    # cluster-sampled instance features (reference --cluster_path flow):
+    # when instance_feat is on and the clusters npy exists, every instance
+    # region is painted with a cluster center of its class instead of
+    # encoding the (possibly unavailable) real image (SURVEY C15/§3.3)
+    clusters = None
+    if getattr(opt, "instance_feat", False) and not opt.use_encoded_image:
+        if os.path.exists(opt.cluster_path):
+            clusters = np.load(opt.cluster_path)
+            print(f"loaded feature clusters {clusters.shape} from {opt.cluster_path}")
+
     params = None
     fwd = jax.jit(lambda p, b: model.inference(p, b))
     done = 0
     for host_batch in loader:
         batch = {k: jnp.asarray(v) for k, v in host_batch.items() if not isinstance(v, list)}
+        if clusters is not None:
+            from ..eval.features import sample_cluster_features
+
+            batch["feat"] = jnp.asarray(
+                sample_cluster_features(clusters, np.asarray(host_batch["inst"]))
+            )
         if params is None:
             params = restore_params(opt, model, batch)
         fake = np.asarray(jax.device_get(fwd(params, batch)))
