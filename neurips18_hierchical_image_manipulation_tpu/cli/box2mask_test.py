@@ -13,7 +13,6 @@ from ..configs.options import BoxToMaskTestOptions, parse_cli
 from ..data.loader import CreateDataLoader
 from ..models.factory import create_model
 from ..utils import html as html_mod
-from ..utils.checkpoint import CheckpointManager
 from ..utils.imaging import tensor2label
 from ..utils.visualizer import Visualizer
 from .mask2image_test import restore_params

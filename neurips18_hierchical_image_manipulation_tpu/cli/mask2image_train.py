@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import numpy as np
 from ..parallel import make_data_mesh
 from ..configs.options import MaskToImageTrainOptions, parse_cli
 from ..data.loader import CreateDataLoader

@@ -14,12 +14,10 @@ import argparse
 import dataclasses
 import os
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..configs.options import BoxToMaskTestOptions, MaskToImageTestOptions
-from ..data.bbox import BboxCropDataset
 from ..data.cityscapes import AlignedDataset
 from ..data.bbox import bboxes_from_instance_map
 from ..eval.two_step import TwoStepPipeline

@@ -9,7 +9,7 @@ Returns numpy NHWC batches ready for device_put; all tensor math
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 from PIL import Image

@@ -14,13 +14,10 @@ hot path" fused on-device).
 
 from __future__ import annotations
 
-import functools
-from typing import Dict
-
 import jax
 import jax.numpy as jnp
 
-from ..ops import boxcomposite, onehot_edges
+from ..ops import boxcomposite
 
 
 class TwoStepPipeline:

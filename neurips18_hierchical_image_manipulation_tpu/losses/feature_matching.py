@@ -10,7 +10,6 @@ The per-layer loop excludes the final logits layer? No — pix2pixHD loops
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -20,14 +20,10 @@ chip's HBM.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-
-from ..ops import nnops
 
 
 def _halo_from_neighbors(x, halo: int, axis_name: str):

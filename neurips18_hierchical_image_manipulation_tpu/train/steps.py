@@ -14,8 +14,6 @@ on axis 0. BASELINE.json:5 "data-parallel ICI gradient allreduce".
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -11,7 +11,7 @@ so resume is exact — the reference resets Adam moments on resume.
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import numpy as np
