@@ -54,3 +54,21 @@ def test_evaluate_mask2image_cli(dataroot, tmp_path):
     ]
     res = evaluate.main(["--stage", "mask2image"] + flags)
     assert np.isfinite(res["value"])
+
+
+def test_two_step_demo_cli(dataroot, tmp_path):
+    from neurips18_hierchical_image_manipulation_tpu.cli import two_step_demo
+
+    two_step_demo.main([
+        "--name", "demo",
+        "--b2m_name", "b2m_demo", "--m2i_name", "m2i_demo",
+        "--checkpoints_dir", os.path.join(str(tmp_path), "ckpt"),
+        "--results_dir", os.path.join(str(tmp_path), "results"),
+        "--dataroot", dataroot,
+        "--edit", "add", "--cls", "6",
+        "--label_nc", "8",
+        "--fineSize_b2m", "32", "--fineSize_m2i", "32",
+        "--loadSize", "64", "--how_many", "1",
+    ])
+    out = os.path.join(str(tmp_path), "results", "demo", "index.html")
+    assert os.path.exists(out)
