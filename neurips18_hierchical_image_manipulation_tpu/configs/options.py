@@ -87,6 +87,10 @@ class BaseOptions:
     def parse(self, save=True):
         """Mirror BaseOptions.parse(): create {checkpoints_dir}/{name}, dump
         opt.txt (+config.json)."""
+        # reference --data_type 16 requested half precision; map it onto
+        # the TPU-native bf16 policy unless dtype was set explicitly
+        if self.data_type == 16 and self.dtype == "float32":
+            self.dtype = "bfloat16"
         expr_dir = os.path.join(self.checkpoints_dir, self.name)
         os.makedirs(expr_dir, exist_ok=True)
         if save:
