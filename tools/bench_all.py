@@ -78,8 +78,8 @@ def main():
     b1 = synthetic_batch(rng, bs, hw=(128, 256), label_nc=35)
     b1 = {k: jnp.asarray(v) for k, v in b1.items()}
     params1 = jax.jit(lambda r: m2i.init_params(r, b1))(jax.random.PRNGKey(0))
-    fwd1 = jax.jit(lambda: m2i.inference(params1, b1))
-    dt = timeit(fwd1, sync, args.iters)
+    infer1 = jax.jit(lambda p, b: m2i.inference(p, b))
+    dt = timeit(lambda: infer1(params1, b1), sync, args.iters)
     print(json.dumps({"metric": "g_forward_256x128", "value": round(bs / dt, 2),
                       "unit": "images/sec/chip"}))
 
@@ -92,8 +92,8 @@ def main():
     b2 = synthetic_box2mask_batch(rng, bs, size=128, label_nc=35)
     b2 = {k: jnp.asarray(v) for k, v in b2.items()}
     params2 = jax.jit(lambda r: b2m.init_params(r, b2))(jax.random.PRNGKey(0))
-    fwd2 = jax.jit(lambda: b2m.inference(params2, b2))
-    dt = timeit(fwd2, sync, args.iters)
+    infer2 = jax.jit(lambda p, b: b2m.inference(p, b))
+    dt = timeit(lambda: infer2(params2, b2), sync, args.iters)
     print(json.dumps({"metric": "structure_forward_128", "value": round(bs / dt, 2),
                       "unit": "crops/sec/chip"}))
 
