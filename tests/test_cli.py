@@ -101,3 +101,23 @@ def test_mask2image_train_and_test_cli(dataroot, tmp_path):
     mask2image_test.main(test_flags)
     out = os.path.join(str(tmp_path), "results", "m2i", "test_latest", "index.html")
     assert os.path.exists(out)
+
+
+def test_local_enhancer_train_cli(dataroot, tmp_path):
+    """netG=local coarse-to-fine path with frozen global trunk (C15
+    LocalEnhancer + --niter_fix_global) through the real train driver."""
+    from neurips18_hierchical_image_manipulation_tpu.cli import mask2image_train
+
+    flags = common_flags(dataroot, tmp_path, "le") + [
+        "--netG", "local",
+        "--fineSize", "64",
+        "--n_local_enhancers", "1", "--n_blocks_local", "1",
+        "--niter_fix_global", "1",
+        "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "1", "--display_freq", "1000",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--no_vgg_loss",
+    ]
+    mask2image_train.main(flags)
+    ckdir = os.path.join(str(tmp_path), "ckpt", "le")
+    assert os.path.isdir(os.path.join(ckdir, "ckpt", "latest"))
