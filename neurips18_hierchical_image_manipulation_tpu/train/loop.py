@@ -42,6 +42,13 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
     vgg_params = params.pop("VGG", None)
     state = GANTrainState.create(params, tx_g, tx_d, jax.random.PRNGKey(opt.seed + 1))
 
+    if getattr(opt, "load_pretrain", ""):
+        state = state.replace(
+            params=CheckpointManager.load_pretrain_into(
+                state.params, opt.load_pretrain, opt.which_epoch
+            )
+        )
+
     start_epoch, epoch_iter0 = 1, 0
     if opt.continue_train and ckpt.exists(opt.which_epoch):
         state = ckpt.restore(opt.which_epoch, state)

@@ -91,6 +91,37 @@ class CheckpointManager:
     def has_params(self, label) -> bool:
         return os.path.exists(self._path(f"{label}_params.npz"))
 
+    @staticmethod
+    def load_pretrain_into(params, pretrain_dir: str, which: str = "latest"):
+        """--load_pretrain: initialize from another run's checkpoint with
+        key remapping for the coarse-to-fine hand-off — a GlobalGenerator
+        checkpoint's trunk (G/params/<x>) loads into the LocalEnhancer's
+        global scope (G/params/global/<x>). Missing keys keep init
+        (pix2pixHD's partial-load fallback, SURVEY C12)."""
+        path = os.path.join(pretrain_dir, "ckpt", f"{which}_params.npz")
+        data = np.load(path)
+        flat, _ = jax.tree_util.tree_flatten_with_path(params)
+        out, loaded, missing = [], 0, 0
+        for keypath, leaf in flat:
+            key = "/".join(
+                str(getattr(k, "key", getattr(k, "idx", k))) for k in keypath
+            )
+            candidates = [key, key.replace("/global/", "/", 1)]
+            hit = next(
+                (c for c in candidates if c in data and data[c].shape == leaf.shape),
+                None,
+            )
+            if hit is not None:
+                out.append(data[hit].astype(np.asarray(leaf).dtype))
+                loaded += 1
+            else:
+                out.append(leaf)
+                missing += 1
+        print(f"load_pretrain: {loaded} leaves loaded, {missing} kept at init")
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(params), out
+        )
+
     def read_iter(self):
         """-> (start_epoch, epoch_iter) like the reference's iter.txt."""
         try:

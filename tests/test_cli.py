@@ -121,3 +121,29 @@ def test_local_enhancer_train_cli(dataroot, tmp_path):
     mask2image_train.main(flags)
     ckdir = os.path.join(str(tmp_path), "ckpt", "le")
     assert os.path.isdir(os.path.join(ckdir, "ckpt", "latest"))
+
+
+def test_load_pretrain_global_into_local(dataroot, tmp_path):
+    """--load_pretrain: a trained GlobalGenerator trunk initializes the
+    LocalEnhancer's global scope (coarse-to-fine hand-off)."""
+    from neurips18_hierchical_image_manipulation_tpu.cli import mask2image_train
+
+    # 1) train the global stage briefly
+    gflags = common_flags(dataroot, tmp_path, "pre_g") + [
+        "--fineSize", "64", "--niter", "1", "--niter_decay", "0",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--print_freq", "100", "--display_freq", "1000", "--no_vgg_loss",
+    ]
+    mask2image_train.main(gflags)
+
+    # 2) local stage initialized from it (ngf halves: local ngf = global/2)
+    lflags = common_flags(dataroot, tmp_path, "pre_l") + [
+        "--netG", "local", "--ngf", "4",
+        "--n_local_enhancers", "1", "--n_blocks_local", "1",
+        "--fineSize", "64", "--niter", "1", "--niter_decay", "0",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--print_freq", "100", "--display_freq", "1000", "--no_vgg_loss",
+        "--load_pretrain", os.path.join(str(tmp_path), "ckpt", "pre_g"),
+    ]
+    mask2image_train.main(lflags)
+    assert os.path.isdir(os.path.join(str(tmp_path), "ckpt", "pre_l", "ckpt", "latest"))
