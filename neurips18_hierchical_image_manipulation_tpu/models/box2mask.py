@@ -100,7 +100,7 @@ class BoxToMaskModel:
         d_fake_for_g = self.netD.apply(d_sg, merged, boxmask, cls_oh)
         loss_g_gan = gan_loss(d_fake_for_g, True, use_lsgan)
 
-        gt_oh = onehot_edges.one_hot_label(gt_ids, opt.label_nc)
+        gt_oh = onehot_edges.one_hot_label(gt_ids, opt.label_nc, dtype=merged.dtype)
         merged_sg = lax.stop_gradient(merged)
         d_real = self.netD.apply(params["D"], gt_oh, boxmask, cls_oh)
         d_fake = self.netD.apply(params["D"], merged_sg, boxmask, cls_oh)
