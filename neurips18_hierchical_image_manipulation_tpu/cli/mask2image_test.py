@@ -73,6 +73,17 @@ def main(argv=None):
                 "input_label": tensor2label(host_batch["label"][i], opt.label_nc),
                 "synthesized_image": tensor2im(fake[i]),
             }
+            if opt.aspect_ratio != 1.0:
+                # reference save_images: stretch W by aspect_ratio
+                from PIL import Image as _Image
+
+                for k, v in visuals.items():
+                    h, w = v.shape[:2]
+                    visuals[k] = np.asarray(
+                        _Image.fromarray(v).resize(
+                            (int(w * opt.aspect_ratio), h), _Image.BICUBIC
+                        )
+                    )
             if "image" in host_batch:
                 visuals["real_image"] = tensor2im(host_batch["image"][i])
             visualizer.save_images(webpage, visuals, host_batch["path"][i])
