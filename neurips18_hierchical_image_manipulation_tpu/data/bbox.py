@@ -120,13 +120,10 @@ class BboxCropDataset:
         wy0, wx0, wh, ww = _context_window(rec["bbox"], hw, self.margin, s)
 
         def crop_resize_nearest(arr):
+            from . import native
+
             win = arr[wy0 : wy0 + wh, wx0 : wx0 + ww]
-            return np.asarray(
-                Image.fromarray(win.astype(np.int32), mode="I").resize(
-                    (s, s), Image.NEAREST
-                ),
-                dtype=np.int32,
-            )
+            return native.nearest_resize_i32(win, s, s)
 
         gt_layout = crop_resize_nearest(label)
         inst_win = crop_resize_nearest(inst)
