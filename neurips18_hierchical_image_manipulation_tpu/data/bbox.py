@@ -81,11 +81,23 @@ class BboxCropDataset:
     def __init__(self, opt, records: Optional[List[Dict]] = None):
         self.opt = opt
         # the crop dataset always needs instance maps to find objects, even
-        # when the model consumes no instance-edge channel (no_instance)
+        # when the model consumes no instance-edge channel (no_instance).
+        # Geometry must be DETERMINISTIC: bbox records are extracted in the
+        # transformed coordinate frame, so random flip/crop in the base
+        # dataset would desynchronize boxes from pixels — flips would
+        # mirror the image but not the stored box. (Flip augmentation, if
+        # wanted, belongs here where crop and box can flip together.)
         import dataclasses as _dc
 
         base_opt = _dc.replace(opt) if _dc.is_dataclass(opt) else opt
         base_opt.no_instance = False
+        base_opt.no_flip = True
+        if "crop" in getattr(base_opt, "resize_or_crop", ""):
+            base_opt.resize_or_crop = (
+                "scale_width"
+                if "scale_width" in base_opt.resize_or_crop
+                else "none"
+            )
         self.base = AlignedDataset(base_opt)
         self.size = opt.fineSize
         self.margin = getattr(opt, "contextMargin", 2.0)

@@ -130,3 +130,23 @@ def test_loader_batching(dataroot, tmp_path):
     assert b["label"].shape == (2, 64, 128)
     assert b["image"].shape == (2, 64, 128, 3)
     assert isinstance(b["path"], list) and len(b["path"]) == 2
+
+
+def test_bbox_dataset_deterministic_geometry(dataroot, tmp_path):
+    """bbox records live in the transformed coordinate frame: the crop
+    dataset must disable random flip/crop in its base dataset so boxes and
+    pixels stay synchronized across reads (regression test)."""
+    opt = BoxToMaskTrainOptions(
+        name="dg", checkpoints_dir=os.path.join(str(tmp_path), "ckpt"),
+        dataroot=dataroot, fineSize=32, resize_or_crop="scale_width_and_crop",
+        loadSize=128, batchSize=1, min_box_size=4, no_instance=True,
+        # note: no_flip NOT set -> base must force determinism itself
+    )
+    ds = BboxCropDataset(opt)
+    s1 = ds[0]
+    s2 = ds[0]
+    np.testing.assert_array_equal(s1["gt_layout"], s2["gt_layout"])
+    np.testing.assert_array_equal(s1["boxmask"], s2["boxmask"])
+    # object pixels really are the object class inside the box
+    obj = s1["gt_objmask"][..., 0] > 0
+    assert obj.sum() > 0 and np.all(s1["gt_layout"][obj] == 26)
