@@ -39,6 +39,11 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
     params = jax.jit(lambda r: model.init_params(r, first))(
         jax.random.PRNGKey(opt.seed)
     )
+    if getattr(opt, "verbose", False):
+        # reference --verbose prints the networks; here: param counts
+        for net, tree in params.items():
+            n = sum(int(np.prod(l.shape)) for l in jax.tree.leaves(tree))
+            print(f"[net {net}] {n / 1e6:.2f}M params")
     vgg_params = params.pop("VGG", None)
     state = GANTrainState.create(params, tx_g, tx_d, jax.random.PRNGKey(opt.seed + 1))
 
