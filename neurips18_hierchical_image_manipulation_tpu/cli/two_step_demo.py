@@ -44,15 +44,32 @@ def main(argv=None):
     p.add_argument("--loadSize", type=int, default=512)
     args = p.parse_args(argv)
 
-    b2m_opt = BoxToMaskTestOptions(
-        name=args.b2m_name, checkpoints_dir=args.checkpoints_dir,
-        dataroot=args.dataroot, label_nc=args.label_nc,
-        fineSize=args.fineSize_b2m,
-    )
-    m2i_opt = MaskToImageTestOptions(
-        name=args.m2i_name, checkpoints_dir=args.checkpoints_dir,
-        dataroot=args.dataroot, label_nc=args.label_nc,
-        fineSize=args.fineSize_m2i, use_masked_image=True,
+    def stage_opt(cls_, name, fine_size, **kw):
+        """Build stage options, adopting the TRAINED run's architecture
+        from its saved config.json (ngf / depths / label_nc / fineSize)
+        so demo-time models match the checkpoints."""
+        opt = cls_(
+            name=name, checkpoints_dir=args.checkpoints_dir,
+            dataroot=args.dataroot, label_nc=args.label_nc,
+            fineSize=fine_size, **kw,
+        )
+        cfg_path = os.path.join(args.checkpoints_dir, name, "config.json")
+        if os.path.exists(cfg_path):
+            import json
+
+            cfg = json.load(open(cfg_path))
+            for k in ("ngf", "n_downsample_global", "n_blocks_global",
+                      "label_nc", "fineSize", "norm", "netG", "no_instance",
+                      "n_local_enhancers", "n_blocks_local"):
+                if k in cfg and hasattr(opt, k):
+                    setattr(opt, k, cfg[k])
+            print(f"[{name}] adopted architecture from {cfg_path}")
+        return opt
+
+    b2m_opt = stage_opt(BoxToMaskTestOptions, args.b2m_name, args.fineSize_b2m)
+    m2i_opt = stage_opt(
+        MaskToImageTestOptions, args.m2i_name, args.fineSize_m2i,
+        use_masked_image=True,
     )
     b2m = create_model(b2m_opt)
     m2i = create_model(m2i_opt)
@@ -66,11 +83,11 @@ def main(argv=None):
     from ..data.synthetic import synthetic_batch, synthetic_box2mask_batch
 
     rng = np.random.RandomState(0)
-    bb = synthetic_box2mask_batch(rng, 1, size=args.fineSize_b2m, label_nc=args.label_nc)
+    bb = synthetic_box2mask_batch(rng, 1, size=b2m_opt.fineSize, label_nc=b2m_opt.label_nc)
     bb = {k: jnp.asarray(v) for k, v in bb.items()}
     b2m_params = restore_params(b2m_opt, b2m, bb)
-    mb = synthetic_batch(rng, 1, hw=(args.fineSize_m2i, args.fineSize_m2i),
-                         label_nc=args.label_nc)
+    mb = synthetic_batch(rng, 1, hw=(m2i_opt.fineSize, m2i_opt.fineSize),
+                         label_nc=m2i_opt.label_nc)
     mb = {k: jnp.asarray(v) for k, v in mb.items()}
     m2i_params = restore_params(m2i_opt, m2i, mb)
 

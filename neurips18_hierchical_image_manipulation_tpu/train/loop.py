@@ -55,10 +55,16 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
         )
 
     start_epoch, epoch_iter0 = 1, 0
-    if opt.continue_train and ckpt.exists(opt.which_epoch):
-        state = ckpt.restore(opt.which_epoch, state)
-        start_epoch, epoch_iter0 = ckpt.read_iter()
-        print(f"resumed from {opt.which_epoch} at epoch {start_epoch}")
+    if opt.continue_train:
+        if ckpt.exists(opt.which_epoch):
+            state = ckpt.restore(opt.which_epoch, state)
+            start_epoch, epoch_iter0 = ckpt.read_iter()
+            print(f"resumed from {opt.which_epoch} at epoch {start_epoch}")
+        else:
+            print(
+                f"WARNING: --continue_train set but no '{opt.which_epoch}' "
+                "checkpoint found — training from scratch"
+            )
 
     compute_dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else None
     pool = None
