@@ -3,8 +3,9 @@
 Config = BASELINE.json #3/#5: mask2image at Cityscapes 512x256 — G
 (GlobalGenerator ngf=64, 4 downs, 9 blocks) + 2-scale PatchGAN + LSGAN +
 feature-matching + VGG19 perceptual losses, both optimizer updates, ONE
-jitted step, bf16 compute / fp32 master params, Pallas fused-IN kernels
-active.
+jitted step, bf16 compute / fp32 master params. The Pallas kernel tier is
+OFF by default (ops/pallas/config.py): every fused kernel is golden-tested
+but measured SLOWER than XLA's fusion end-to-end, so XLA runs the hot path.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 

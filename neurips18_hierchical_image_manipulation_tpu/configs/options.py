@@ -160,6 +160,11 @@ class TestOptions(BaseOptions):
 
     def __post_init__(self):
         self.isTrain = False
+        # the reference test.py hardcodes these, so evaluation/galleries
+        # walk the dataset in file order deterministically (ADVICE r1):
+        self.serial_batches = True
+        self.batchSize = 1
+        self.nThreads = 1
 
 
 @dataclass

@@ -63,15 +63,16 @@ def load_bbox_records(path: str) -> List[Dict]:
 
 
 def _context_window(bbox, hw, margin, out_size):
-    """Square context window = margin x max-side, centered, clipped."""
+    """Square context window — the shared canonical rule (see
+    ops.boxcomposite.context_window_math; host-vs-device equality is
+    tested over random boxes)."""
+    from ..ops.boxcomposite import context_window_math
+
     y0, x0, h, w = bbox
-    cy, cx = y0 + h / 2.0, x0 + w / 2.0
-    side = max(max(h, w) * margin, out_size / 8.0, 8.0)
-    side_h = min(side, hw[0])
-    side_w = min(side, hw[1])
-    wy0 = int(np.clip(cy - side_h / 2.0, 0, hw[0] - side_h))
-    wx0 = int(np.clip(cx - side_w / 2.0, 0, hw[1] - side_w))
-    return wy0, wx0, int(side_h), int(side_w)
+    wy0, wx0, side_h, side_w = context_window_math(
+        float(y0), float(x0), float(h), float(w), hw, margin, out_size, np
+    )
+    return int(wy0), int(wx0), int(side_h), int(side_w)
 
 
 class BboxCropDataset:
@@ -118,6 +119,9 @@ class BboxCropDataset:
                 except OSError:
                     pass
         self.records = records
+
+    def set_epoch(self, epoch: int) -> None:
+        self.base.set_epoch(epoch)
 
     def __len__(self):
         return len(self.records)

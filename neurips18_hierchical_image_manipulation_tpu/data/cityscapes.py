@@ -36,14 +36,25 @@ class AlignedDataset:
         img_dir = os.path.join(self.root, f"{phase}_img")
         if os.path.isdir(img_dir):
             self.image_paths = make_dataset(img_dir, opt.max_dataset_size)
-        self.rng = np.random.RandomState(getattr(opt, "seed", 0))
+        self.seed = getattr(opt, "seed", 0)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Augmentation draws are a pure function of (seed, epoch, index) —
+        thread-safe under the loader's worker pool and independent of
+        scheduling order (no shared mutable RandomState)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, index: int) -> np.random.RandomState:
+        mix = (self.seed + 1) * 2654435761 + self._epoch * 40503 + index * 97
+        return np.random.RandomState(mix % (2**31 - 1))
 
     def __len__(self):
         return len(self.label_paths)
 
     def __getitem__(self, index) -> Dict[str, np.ndarray]:
         label_img = Image.open(self.label_paths[index])
-        params = get_params(self.opt, label_img.size, self.rng)
+        params = get_params(self.opt, label_img.size, self._item_rng(index))
 
         label = apply_transform(label_img, self.opt, params, Image.NEAREST)
         label_ids = np.asarray(label).astype(np.int32)

@@ -8,8 +8,8 @@ heavy math is all on-device). ``shuffle = not serial_batches``.
 
 from __future__ import annotations
 
-import queue
-import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, Iterator, List
 
 import numpy as np
@@ -27,15 +27,27 @@ def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
 
 
 class DataLoader:
+    """Thread-pool prefetching loader.
+
+    ``num_threads`` workers run ``dataset.__getitem__`` concurrently
+    (per-SAMPLE futures, so even a single in-flight batch parallelizes);
+    at most ``prefetch`` batches are in flight, yielded strictly in order.
+    Determinism: datasets must not draw from shared mutable RNG state in
+    ``__getitem__`` — augmentation seeds derive from ``(epoch, index)``
+    via ``dataset.set_epoch`` (see AlignedDataset), so sample contents are
+    independent of worker scheduling.
+    """
+
     def __init__(self, dataset, batch_size=1, shuffle=True, seed=0,
                  drop_last=True, prefetch=2, num_threads=2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        self.prefetch = prefetch
+        self.prefetch = max(1, prefetch)
         self.num_threads = max(1, num_threads)
         self.rng = np.random.RandomState(seed)
+        self._epoch = 0
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
@@ -51,22 +63,37 @@ class DataLoader:
         for b in range(nb):
             yield idx[b * self.batch_size : (b + 1) * self.batch_size]
 
+    def first_batch(self) -> Dict[str, np.ndarray]:
+        """One batch for model init, loaded synchronously — no prefetch
+        thread is spawned and no shuffle/epoch state is consumed (the
+        reference peeks the loader for init shapes only)."""
+        n = min(self.batch_size, len(self.dataset))
+        return _collate([self.dataset[i] for i in range(n)])
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self._epoch)
+        self._epoch += 1
         batches = list(self._index_batches())
 
-        def worker():
-            for batch_idx in batches:
-                q.put(_collate([self.dataset[int(i)] for i in batch_idx]))
-            q.put(None)
+        with ThreadPoolExecutor(max_workers=self.num_threads) as pool:
+            inflight: deque = deque()  # deque of lists of per-sample futures
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                return
-            yield item
+            def submit(batch_idx):
+                inflight.append(
+                    [pool.submit(self.dataset.__getitem__, int(i)) for i in batch_idx]
+                )
+
+            b = 0
+            while b < len(batches) and len(inflight) < self.prefetch:
+                submit(batches[b])
+                b += 1
+            while inflight:
+                futs = inflight.popleft()
+                if b < len(batches):
+                    submit(batches[b])
+                    b += 1
+                yield _collate([f.result() for f in futs])
 
 
 def CreateDataLoader(opt, records=None):

