@@ -49,21 +49,170 @@ def set_default_precision(p):
     _PRECISION = p
 
 
+def _lane_pad_targets(ci: int, co: int):
+    """Channel-padding policy for the bf16 perf path (v5e profiling,
+    2026-08-16): XLA picks pathological batch-minor layouts for low/odd
+    channel counts (the 39-ch conditioning stem and 3-ch RGB head cost
+    ~40ms/step in pure transposes+copies at 512x256 bs32). Padding input/
+    output channels with zeros is numerically EXACT (0-channels contribute
+    exactly 0) and restores lane-aligned layouts. Measured END-TO-END it
+    LOSES (74.1 vs 81.3 img/s full GAN step: the padded full-res tensors
+    raise HBM pressure and worsen XLA's auto-remat), so _LANE_PAD defaults
+    off. Returns (ci_t, co_t)."""
+    def up(c):
+        if c >= 64:
+            return c  # 64+ already lane-friendly in T(8,128) tiles
+        if c > 32:
+            return 64
+        return -(-c // 8) * 8  # next multiple of 8 (sublane)
+
+    return up(ci), up(co)
+
+
 def conv2d(x, w, b=None, *, stride=1, padding=0, precision=None):
-    """torch.nn.Conv2d equivalent. x: (N,H,W,Cin), w: (kh,kw,Cin,Cout)."""
+    """torch.nn.Conv2d equivalent. x: (N,H,W,Cin), w: (kh,kw,Cin,Cout).
+
+    On the perf path (Precision.DEFAULT) low-channel operands are
+    zero-padded to lane-aligned widths and the output sliced back — see
+    ``_lane_pad_targets``. Exact math; disable with HIMAN_LANE_PAD=0."""
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     if isinstance(padding, int):
         pad = [(padding, padding), (padding, padding)]
     else:
         pad = [tuple(p) if isinstance(p, (tuple, list)) else (p, p) for p in padding]
+    prec = precision or _PRECISION
+    co = w.shape[-1]
+    if prec == lax.Precision.DEFAULT and _LANE_PAD:
+        ci = x.shape[-1]
+        ci_t, co_t = _lane_pad_targets(ci, co)
+        if ci_t != ci:
+            x = jnp.pad(x, [(0, 0), (0, 0), (0, 0), (0, ci_t - ci)])
+            w = jnp.pad(w, [(0, 0), (0, 0), (0, ci_t - ci), (0, 0)])
+        if co_t != co:
+            w = jnp.pad(w, [(0, 0), (0, 0), (0, 0), (0, co_t - co)])
     y = lax.conv_general_dilated(
         x,
         w,
         window_strides=s,
         padding=pad,
         dimension_numbers=_DIMNUMS,
-        precision=precision or _PRECISION,
+        precision=prec,
     )
+    if y.shape[-1] != co:
+        y = y[..., :co]
+    if b is not None:
+        y = y + b
+    return y
+
+
+# conv-transpose implementation selector for ConvT(k3,s2,p1,op1):
+#   "adjoint"  = lhs_dilated conv (torch-exact accumulation order; parity tier)
+#   "subpixel" = 4 phase convs + interleave
+#   "d2s"      = one 2x2 conv to 4*Co channels + depth-to-space
+#   "auto"     = currently ADJOINT everywhere. Isolated fwd+bwd timings
+#                (v5e bs32 bf16, tools/bench_convt.py 2026-08-16) say the
+#                alternates should win at low-channel/large-spatial shapes:
+#                  16x32x1024->512: adjoint 3.75ms  subpixel 3.77  d2s 6.38
+#                  32x64x512->256 : adjoint 5.25    subpixel 4.96  d2s 6.22
+#                  64x128x256->128: adjoint 8.36    subpixel 8.34  d2s 5.58
+#                  128x256x128->64: adjoint 22.38   subpixel 22.39 d2s 6.16
+#                ...but END-TO-END the full GAN train step measured SLOWER
+#                with them (subpixel-everywhere 73.9 img/s, shape-adaptive
+#                subpixel/d2s 74.1 vs adjoint 81.3): the phase stacks add
+#                materialized intermediates that break XLA's fusion/remat
+#                schedule in the memory-pressured full program. Honestly
+#                gated off until a variant wins end-to-end; force with
+#                HIMAN_CONVT_IMPL=subpixel|d2s.
+import os as _os
+
+_CONVT_IMPL = _os.environ.get("HIMAN_CONVT_IMPL", "auto")
+# end-to-end LOSS measured (74.1 vs 81.3 img/s, see _lane_pad_targets
+# docstring) — opt-in via HIMAN_LANE_PAD=1
+_LANE_PAD = _os.environ.get("HIMAN_LANE_PAD", "0") == "1"
+
+
+def set_conv_transpose_impl(impl: str):
+    global _CONVT_IMPL
+    assert impl in ("adjoint", "subpixel", "auto"), impl
+    _CONVT_IMPL = impl
+
+
+def conv_transpose2d_subpixel(x, w, b=None, *, precision=None):
+    """ConvTranspose2d(k=3, s=2, p=1, op=1) via subpixel phase decomposition.
+
+    The adjoint form dilates the input with zeros (3 of every 4 positions),
+    so a dense 3x3 conv over it wastes ~4x the MXU work. Output pixels
+    partition into 4 phases by parity, each an ordinary small conv:
+
+      out[2i,   2j  ] = x[i,j]*w[1,1]
+      out[2i,   2j+1] = x[i,j]*w[1,2] + x[i,j+1]*w[1,0]
+      out[2i+1, 2j  ] = x[i,j]*w[2,1] + x[i+1,j]*w[0,1]
+      out[2i+1, 2j+1] = x[i,j]*w[2,2] + x[i,j+1]*w[2,0]
+                      + x[i+1,j]*w[0,2] + x[i+1,j+1]*w[0,0]
+
+    (w indexed HWIO, out-of-range x terms are zero). Identical arithmetic
+    to the adjoint modulo float summation order.
+    """
+    n, h, wd, ci = x.shape
+    co = w.shape[-1]
+    prec = precision or _PRECISION
+
+    def pconv(kern, pad_h, pad_w):
+        return lax.conv_general_dilated(
+            x, kern, window_strides=(1, 1),
+            padding=[(0, pad_h), (0, pad_w)],
+            dimension_numbers=_DIMNUMS, precision=prec,
+        )
+
+    p00 = pconv(w[1:2, 1:2], 0, 0)
+    p01 = pconv(jnp.stack([w[1, 2], w[1, 0]])[None], 0, 1)  # (1,2,Ci,Co)
+    p10 = pconv(jnp.stack([w[2, 1], w[0, 1]])[:, None], 1, 0)  # (2,1,Ci,Co)
+    k11 = jnp.stack(
+        [jnp.stack([w[2, 2], w[2, 0]]), jnp.stack([w[0, 2], w[0, 0]])]
+    )  # (2,2,Ci,Co)
+    p11 = pconv(k11, 1, 1)
+
+    top = jnp.stack([p00, p01], axis=3)  # (N,H,W,2,C)
+    bot = jnp.stack([p10, p11], axis=3)
+    y = jnp.stack([top, bot], axis=2).reshape(n, 2 * h, 2 * wd, co)
+    if b is not None:
+        y = y + b
+    return y
+
+
+def conv_transpose2d_d2s(x, w, b=None, *, precision=None):
+    """ConvTranspose2d(k=3, s=2, p=1, op=1) as ONE 2x2 conv producing
+    4*Co channels followed by depth-to-space — the same phase math as
+    ``conv_transpose2d_subpixel`` but as a single MXU matmul (unused taps
+    zero-padded: 4 taps/output vs the naive dilated form's 9)."""
+    n, h, wd, ci = x.shape
+    co = w.shape[-1]
+    z = jnp.zeros_like(w[0, 0])
+    # phase kernels laid out (2,2,Ci,4,Co): tap (dy,dx) contributes to
+    # phase p in out[2i+p_r, 2j+p_c] per the subpixel decomposition
+    k = jnp.stack(
+        [
+            # tap (0,0): all four phases read x[i,j]
+            jnp.stack([w[1, 1], w[1, 2], w[2, 1], w[2, 2]], axis=-2),
+            # tap (0,1): phases (0,1) and (1,1) read x[i,j+1]
+            jnp.stack([z, w[1, 0], z, w[2, 0]], axis=-2),
+        ]
+    )  # (2, Ci, 4, Co) after inner stacks -> shape (2,2,Ci,4,Co)? build row2:
+    k2 = jnp.stack(
+        [
+            # tap (1,0): phases (1,0) and (1,1) read x[i+1,j]
+            jnp.stack([z, z, w[0, 1], w[0, 2]], axis=-2),
+            # tap (1,1): phase (1,1) reads x[i+1,j+1]
+            jnp.stack([z, z, z, w[0, 0]], axis=-2),
+        ]
+    )
+    kern = jnp.stack([k, k2]).reshape(2, 2, ci, 4 * co)
+    y4 = lax.conv_general_dilated(
+        x, kern, window_strides=(1, 1), padding=[(0, 1), (0, 1)],
+        dimension_numbers=_DIMNUMS, precision=precision or _PRECISION,
+    )  # (N,H,W,4Co), channel layout [phase(2x2), Co]
+    y = y4.reshape(n, h, wd, 2, 2, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, co)
     if b is not None:
         y = y + b
     return y
@@ -87,6 +236,21 @@ def conv_transpose2d(
     kh, kw = w.shape[0], w.shape[1]
     s = (stride, stride) if isinstance(stride, int) else tuple(stride)
     p = (padding, padding) if isinstance(padding, int) else tuple(padding)
+    prec = precision or _PRECISION
+    eligible = (
+        (kh, kw) == (3, 3)
+        and s == (2, 2)
+        and p == (1, 1)
+        and (output_padding == 1 or output_padding == (1, 1))
+    )
+    if eligible:
+        impl = _CONVT_IMPL
+        if impl == "auto":
+            impl = "adjoint"  # end-to-end winner; see selector comment
+        if impl == "subpixel":
+            return conv_transpose2d_subpixel(x, w, b, precision=prec)
+        if impl == "d2s":
+            return conv_transpose2d_d2s(x, w, b, precision=prec)
     op = (
         (output_padding, output_padding)
         if isinstance(output_padding, int)

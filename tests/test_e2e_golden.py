@@ -41,3 +41,45 @@ def test_two_step_statistics_band(pipeline, rng):
     om = np.asarray(out["object_mask"])
     assert 0.0 <= om.min() and om.max() <= 1.0
     assert om.sum() > 0
+
+
+def _ssim(a, b, drange=2.0):
+    """Global SSIM (single window) — enough to gate gross numeric drift."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    c1, c2 = (0.01 * drange) ** 2, (0.03 * drange) ** 2
+    ma, mb = a.mean(), b.mean()
+    va, vb = a.var(), b.var()
+    cov = ((a - ma) * (b - mb)).mean()
+    return ((2 * ma * mb + c1) * (2 * cov + c2)) / (
+        (ma**2 + mb**2 + c1) * (va + vb + c2)
+    )
+
+
+def test_two_step_stored_golden(pipeline, rng):
+    """Regression vs a COMMITTED artifact (SURVEY §5.5, VERDICT r1 missing
+    #6): the edited image / completed label from seeded params + a canned
+    scene must match tests/goldens/two_step_add.npz. Regenerate with
+    HIMAN_MAKE_GOLDENS=1 when an intentional numerics change lands."""
+    import os
+
+    golden_path = os.path.join(
+        os.path.dirname(__file__), "goldens", "two_step_add.npz"
+    )
+    image, label, inst = make_scene(rng)
+    boxes = jnp.asarray([[20.0, 30.0, 24.0, 24.0]])
+    cls = jnp.asarray([6], jnp.int32)
+    out = pipeline.add_object(image, label, inst, boxes, cls)
+    edited = np.asarray(out["edited_image"], np.float32)
+    completed = np.asarray(out["completed_label"], np.int32)
+
+    if os.environ.get("HIMAN_MAKE_GOLDENS"):
+        np.savez_compressed(golden_path, edited=edited, completed=completed)
+
+    g = np.load(golden_path)
+    # completed label map is integer-exact
+    np.testing.assert_array_equal(completed, g["completed"])
+    # edited RGB: tolerance absorbs XLA accumulation-order drift across
+    # compiler versions; SSIM gates structural change
+    np.testing.assert_allclose(edited, g["edited"], atol=2e-3)
+    assert _ssim(edited, g["edited"]) > 0.999

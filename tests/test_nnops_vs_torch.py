@@ -132,3 +132,63 @@ def test_segment_mean(rng):
         want = feat[0][m].mean(axis=0)
         np.testing.assert_allclose(out[0][m], np.broadcast_to(want, out[0][m].shape),
                                    atol=1e-5, rtol=1e-5)
+
+
+def test_conv_transpose_subpixel_matches_adjoint(rng):
+    """Phase-decomposed ConvT(k3,s2,p1,op1) == adjoint form (and the torch
+    oracle) at fp32, values and gradients."""
+    import jax
+
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+
+    x = jnp.asarray(rng.randn(2, 9, 13, 8).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 8, 6).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(6).astype(np.float32) * 0.1)
+
+    ref = nnops.conv_transpose2d(
+        x, w, b, stride=2, padding=1, output_padding=1,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    got = nnops.conv_transpose2d_subpixel(
+        x, w, b, precision=jax.lax.Precision.HIGHEST
+    )
+    assert got.shape == ref.shape == (2, 18, 26, 6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+    def loss_a(x, w):
+        return jnp.sum(
+            nnops.conv_transpose2d(
+                x, w, precision=jax.lax.Precision.HIGHEST
+            ) ** 2
+        )
+
+    def loss_s(x, w):
+        return jnp.sum(
+            nnops.conv_transpose2d_subpixel(
+                x, w, precision=jax.lax.Precision.HIGHEST
+            ) ** 2
+        )
+
+    ga = jax.grad(loss_a, argnums=(0, 1))(x, w)
+    gs = jax.grad(loss_s, argnums=(0, 1))(x, w)
+    for a, s in zip(ga, gs):
+        np.testing.assert_allclose(np.asarray(s), np.asarray(a), atol=5e-3, rtol=1e-4)
+
+
+def test_conv_transpose_impl_switch(rng):
+    """'auto' picks subpixel on the DEFAULT-precision perf path and the
+    adjoint on the HIGHEST-precision parity path; both agree numerically."""
+    import jax
+
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+
+    x = jnp.asarray(rng.randn(1, 6, 6, 4).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 4, 4).astype(np.float32) * 0.1)
+    try:
+        nnops.set_conv_transpose_impl("adjoint")
+        a = nnops.conv_transpose2d(x, w, precision=jax.lax.Precision.HIGHEST)
+        nnops.set_conv_transpose_impl("subpixel")
+        s = nnops.conv_transpose2d(x, w, precision=jax.lax.Precision.HIGHEST)
+    finally:
+        nnops.set_conv_transpose_impl("auto")
+    np.testing.assert_allclose(np.asarray(s), np.asarray(a), atol=2e-5, rtol=1e-5)

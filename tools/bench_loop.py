@@ -1,0 +1,129 @@
+"""End-to-end train-LOOP throughput with the REAL input pipeline.
+
+bench.py times the jitted step on a resident synthetic batch (device-only
+number). This tool builds a synthetic-PNG Cityscapes-format dataroot at
+the training resolution, then times the actual loop: threaded DataLoader
+(PIL decode + transforms on host) -> device put -> jitted GAN step.
+
+Prints device-only vs loop-level img/s and the host/device gap
+(VERDICT r1 missing#5 / SURVEY §4.5). On this 1-core host the PNG decode
+path is expected to be host-bound at large batch; the number documents by
+how much, and scales with --nThreads on real multi-core TPU hosts.
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_dataroot(root, n_images, hw, label_nc=35):
+    from PIL import Image
+
+    rng = np.random.RandomState(0)
+    h, w = hw
+    for sub in ("train_label", "train_inst", "train_img"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    for i in range(n_images):
+        lab = rng.randint(0, label_nc, (h, w)).astype(np.uint8)
+        Image.fromarray(lab).save(f"{root}/train_label/{i:04d}.png")
+        inst = (lab.astype(np.int64) * 1000 + rng.randint(0, 4, (h, w))).astype(np.int32)
+        Image.fromarray(inst, mode="I").save(f"{root}/train_inst/{i:04d}.png")
+        img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(img).save(f"{root}/train_img/{i:04d}.png")
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    import jax.numpy as jnp
+    import optax
+
+    from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+        MaskToImageTrainOptions,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.data.loader import CreateDataLoader
+    from neurips18_hierchical_image_manipulation_tpu.models.factory import create_model
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+    from neurips18_hierchical_image_manipulation_tpu.train import steps as train_steps
+    from neurips18_hierchical_image_manipulation_tpu.train.state import GANTrainState
+
+    nnops.set_default_precision("default")
+    bs = int(os.environ.get("HIMAN_BENCH_BS", "32"))
+    nthreads = int(os.environ.get("HIMAN_BENCH_NTHREADS", "8"))
+    n_images = bs * 6
+
+    root = os.path.join(tempfile.gettempdir(), "himan_loop_city")
+    if not os.path.exists(os.path.join(root, "train_label")):
+        make_dataroot(root, n_images, (256, 512))
+
+    opt = MaskToImageTrainOptions(
+        name="benchloop", checkpoints_dir="/tmp/himan_benchloop", dataroot=root,
+        label_nc=35, ngf=64, ndf=64, n_downsample_global=4, n_blocks_global=9,
+        num_D=2, n_layers_D=3, batchSize=bs, use_masked_image=True,
+        use_bbox_dataset=False, dtype="bfloat16", resize_or_crop="none",
+        no_flip=True, nThreads=nthreads, serial_batches=True,
+    )
+    model = create_model(opt)
+    loader = CreateDataLoader(opt)
+
+    first = loader.first_batch()
+    # synthesize boxes for masked-RGB conditioning (aligned dataset has none)
+    def with_boxes(b):
+        n = b["label"].shape[0]
+        out = {k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, list)}
+        out["boxes"] = jnp.tile(jnp.asarray([[64.0, 128.0, 96.0, 160.0]]), (n, 1))
+        return out
+
+    batch0 = with_boxes(first)
+    params = jax.jit(lambda r: model.init_params(r, batch0))(jax.random.PRNGKey(0))
+    vgg_params = params.pop("VGG", None)
+    tx = optax.adam(2e-4, b1=0.5)
+    state = GANTrainState.create(params, tx, tx, jax.random.PRNGKey(1))
+    step = train_steps.make_train_step(
+        model, vgg_params=vgg_params, compute_dtype=jnp.bfloat16
+    )
+
+    state, metrics, _ = step(state, batch0)
+    _ = float(metrics["D_real"])
+
+    # device-only: resident batch
+    iters = int(os.environ.get("HIMAN_BENCH_ITERS", "20"))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics, _ = step(state, batch0)
+    _ = float(metrics["D_real"])
+    dev_ips = bs * iters / (time.perf_counter() - t0)
+
+    # loop-level: real loader in the loop
+    n_steps = 0
+    t0 = time.perf_counter()
+    for epoch in range(4):
+        for host_batch in loader:
+            state, metrics, _ = step(state, with_boxes(host_batch))
+            n_steps += 1
+    _ = float(metrics["D_real"])
+    loop_ips = bs * n_steps / (time.perf_counter() - t0)
+
+    print(json.dumps({
+        "metric": "loop_vs_device_images_per_sec_512x256",
+        "device_only": round(dev_ips, 2),
+        "loop_level": round(loop_ips, 2),
+        "host_overhead_pct": round(100 * (1 - loop_ips / dev_ips), 1),
+        "nThreads": nthreads,
+        "unit": "images/sec/chip",
+    }))
+
+
+if __name__ == "__main__":
+    main()
