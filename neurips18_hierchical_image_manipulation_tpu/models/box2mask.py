@@ -102,8 +102,15 @@ class BoxToMaskModel:
 
         gt_oh = onehot_edges.one_hot_label(gt_ids, opt.label_nc, dtype=merged.dtype)
         merged_sg = lax.stop_gradient(merged)
-        d_real = self.netD.apply(params["D"], gt_oh, boxmask, cls_oh)
-        d_fake = self.netD.apply(params["D"], merged_sg, boxmask, cls_oh)
+        # ONE batched D apply over [gt; merged.detach()] — neither needs
+        # input grads, IN is per-sample, the (cls ⊕ boxmask) conditioning
+        # partial conv computes once and tiles (networks.Conv)
+        d_rf = self.netD.apply(
+            params["D"], jnp.concatenate([gt_oh, merged_sg], axis=0), boxmask, cls_oh
+        )
+        nb = gt_oh.shape[0]
+        d_real = [f[:nb] for f in d_rf]
+        d_fake = [f[nb:] for f in d_rf]
         loss_d, loss_d_real, loss_d_fake = discriminator_loss(d_real, d_fake, use_lsgan)
 
         total = loss_recon + loss_obj + loss_g_gan + loss_d

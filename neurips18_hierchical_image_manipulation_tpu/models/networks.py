@@ -29,7 +29,16 @@ zeros_init = nn.initializers.zeros
 
 
 class Conv(nn.Module):
-    """torch.nn.Conv2d twin: explicit symmetric int padding, HWIO kernel."""
+    """torch.nn.Conv2d twin: explicit symmetric int padding, HWIO kernel.
+
+    The optional second input ``x2`` computes the conv over the channel
+    concat (x ⊕ x2) as two partial convs over one kernel —
+    ``conv(concat(a,b), W) = conv(a, W[:ca]) + conv(b, W[ca:])`` exactly
+    (modulo float add order). The param tree is identical to the concat
+    form, so checkpoints are unaffected. Used by the PatchGAN stems so the
+    conditioning half of the input (identical across the D(real) /
+    D(fake) / D(fake.detach()) applies of one train step) is CSE-shared
+    by XLA, and the input-gradient only spans the 3 RGB channels."""
 
     features: int
     kernel: int
@@ -38,14 +47,29 @@ class Conv(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x2=None):
+        ci = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         w = self.param(
             "kernel",
             conv_init,
-            (self.kernel, self.kernel, x.shape[-1], self.features),
+            (self.kernel, self.kernel, ci, self.features),
         )
         b = self.param("bias", zeros_init, (self.features,)) if self.use_bias else None
-        return nnops.conv2d(x, w, b, stride=self.stride, padding=self.padding)
+        if x2 is None:
+            return nnops.conv2d(x, w, b, stride=self.stride, padding=self.padding)
+        c1 = x.shape[-1]
+        y = nnops.conv2d(x, w[:, :, :c1], b, stride=self.stride, padding=self.padding)
+        y2 = nnops.conv2d(x2, w[:, :, c1:], None, stride=self.stride, padding=self.padding)
+        if x2.shape[0] != x.shape[0]:
+            # batched-pair D apply: one side holds the conditioning ONCE
+            # while the other stacks k inputs along batch (e.g.
+            # [real; fake.detach()]) — the conditioning partial conv runs
+            # at base batch and its result is tiled
+            if x2.shape[0] > x.shape[0]:
+                y = jnp.concatenate([y] * (x2.shape[0] // x.shape[0]), axis=0)
+            else:
+                y2 = jnp.concatenate([y2] * (x.shape[0] // x2.shape[0]), axis=0)
+        return y + y2
 
 
 class ConvTranspose(nn.Module):
@@ -267,10 +291,10 @@ class NLayerDiscriminator(nn.Module):
     norm: str = "instance"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x2=None):
         padw = 2  # ceil((4-1)/2) — pix2pixHD convention
         feats = []
-        h = Conv(self.ndf, 4, stride=2, padding=padw, name="layer0")(x)
+        h = Conv(self.ndf, 4, stride=2, padding=padw, name="layer0")(x, x2)
         h = nnops.leaky_relu(h, 0.2)
         feats.append(h)
         nf = self.ndf
@@ -302,9 +326,13 @@ class MultiscaleDiscriminator(nn.Module):
     norm: str = "instance"
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x2=None):
+        """x (+ optional x2, channel-concat semantics — see Conv): the
+        two-input form keeps the conditioning pyramid separate so its
+        AvgPool downsamples and layer0 partial convs CSE across the three
+        per-step D applies."""
         results = []
-        inp = x
+        inp, inp2 = x, x2
         for i in range(self.num_D):
             d = NLayerDiscriminator(
                 self.ndf,
@@ -313,9 +341,11 @@ class MultiscaleDiscriminator(nn.Module):
                 self.norm,
                 name=f"scale{i}",
             )
-            results.append(d(inp))
+            results.append(d(inp, inp2))
             if i != self.num_D - 1:
                 inp = nnops.avg_pool_3x3s2(inp)
+                if inp2 is not None:
+                    inp2 = nnops.avg_pool_3x3s2(inp2)
         return results
 
 
@@ -476,14 +506,19 @@ class LayoutDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, layout, boxmask, class_onehot):
-        b, h, w, _ = layout.shape
+        # cond is built at boxmask's batch; layout may stack k inputs along
+        # batch (e.g. [gt; merged.detach()]) — Conv tiles the cond partial
+        b, h, w = boxmask.shape[0], layout.shape[1], layout.shape[2]
         cls = jnp.broadcast_to(
             class_onehot[:, None, None, :], (b, h, w, class_onehot.shape[-1])
         )
-        x = jnp.concatenate([layout, cls, boxmask], axis=-1)
+        # (cls ⊕ boxmask) is identical across the per-step D applies —
+        # passed as the split-stem second input so XLA CSE shares its
+        # layer0 partial conv (see Conv docstring)
+        cond = jnp.concatenate([cls, boxmask], axis=-1)
         return NLayerDiscriminator(
             self.ndf, self.n_layers, self.get_interm_feat, self.norm, name="d"
-        )(x)
+        )(layout, cond)
 
 
 def define_G(opt) -> Any:

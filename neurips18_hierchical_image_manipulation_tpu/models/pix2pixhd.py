@@ -134,8 +134,7 @@ class Pix2PixHDModel:
         )
         params["G"] = self.netG.init(kg, g_input)
         if self.netD is not None:
-            d_in = jnp.concatenate([cond, real], axis=-1)
-            params["D"] = self.netD.init(kd, d_in)
+            params["D"] = self.netD.init(kd, cond, real)
         if self.vgg is not None:
             params["VGG"] = self.vgg.init(kv, real)
         return params
@@ -147,7 +146,12 @@ class Pix2PixHDModel:
         (--use_dropout: stochastic G forward at train time)."""
         return bool(getattr(self.netG, "dropout", False))
 
-    def losses(self, params, batch, vgg_params=None, rng=None):
+    def losses(self, params, batch, vgg_params=None, rng=None, g_only=False):
+        """Full fused G+D objective. ``g_only=True`` (the pool_size>0 split
+        g-step) skips the D-side loss entirely — d_losses() computes it
+        against the pool-replayed fake, so building D(real)/D(fake) here
+        would be wasted work. When FM is on, D(real) is still needed (as a
+        detached target), same as the reference."""
         opt = self.opt
         g_input, cond, real = self.encode_input(batch, params=params)
         if self.wants_rng():
@@ -166,15 +170,33 @@ class Pix2PixHDModel:
         d_sg = _sg_tree(params["D"])
 
         # G side: D through frozen-D params
-        d_fake_for_g = self.netD.apply(d_sg, jnp.concatenate([cond, fake], axis=-1))
+        d_fake_for_g = self.netD.apply(d_sg, cond, fake)
         loss_g_gan = gan_loss(d_fake_for_g, True, use_lsgan)
+
+        # D(real) and D(fake.detach()) need no input gradients, so they run
+        # as ONE batched apply over [real; fake.detach()] with live D params
+        # — double the matmul batch for every D layer (better MXU fill,
+        # half the fusion count) at zero extra FLOPs: the cond partial conv
+        # computes once and tiles (see networks.Conv), and InstanceNorm is
+        # per-sample so batching is exact. d_real is shared with the
+        # feature-matching loss (which stop_gradients it) — matching the
+        # reference's D(real)-for-D + detached-FM reuse.
+        d_real = d_fake = None
+        if not g_only:
+            fake_sg = lax.stop_gradient(fake)
+            rf = jnp.concatenate([real, fake_sg], axis=0)
+            d_rf = self.netD.apply(params["D"], cond, rf)
+            nb = real.shape[0]
+            d_real = [[f[:nb] for f in scale] for scale in d_rf]
+            d_fake = [[f[nb:] for f in scale] for scale in d_rf]
+        elif not opt.no_ganFeat_loss:
+            d_real = self.netD.apply(d_sg, cond, real)
 
         loss_g_feat = 0.0
         if not opt.no_ganFeat_loss:
-            d_real_sg = self.netD.apply(d_sg, jnp.concatenate([cond, real], axis=-1))
             loss_g_feat = feature_matching_loss(
                 d_fake_for_g,
-                d_real_sg,
+                d_real,
                 n_layers_D=opt.n_layers_D,
                 num_D=opt.num_D,
                 lambda_feat=opt.lambda_feat,
@@ -186,20 +208,21 @@ class Pix2PixHDModel:
                 self.vgg.apply, vgg_params, fake, real
             )
 
-        # D side: live D params, detached fake
-        fake_sg = lax.stop_gradient(fake)
-        d_real = self.netD.apply(params["D"], jnp.concatenate([cond, real], axis=-1))
-        d_fake = self.netD.apply(params["D"], jnp.concatenate([cond, fake_sg], axis=-1))
-        loss_d, loss_d_real, loss_d_fake = discriminator_loss(d_real, d_fake, use_lsgan)
-
-        total = loss_g_gan + loss_g_feat + loss_g_vgg + loss_d
         metrics = {
             "G_GAN": loss_g_gan,
             "G_GAN_Feat": loss_g_feat,
             "G_VGG": loss_g_vgg,
-            "D_real": loss_d_real,
-            "D_fake": loss_d_fake,
         }
+        if g_only:
+            total = loss_g_gan + loss_g_feat + loss_g_vgg
+            return total, (metrics, fake)
+
+        # D side: losses from the batched apply above
+        loss_d, loss_d_real, loss_d_fake = discriminator_loss(d_real, d_fake, use_lsgan)
+
+        total = loss_g_gan + loss_g_feat + loss_g_vgg + loss_d
+        metrics["D_real"] = loss_d_real
+        metrics["D_fake"] = loss_d_fake
         return total, (metrics, fake)
 
     def d_losses(self, params, batch, fake):
@@ -215,8 +238,13 @@ class Pix2PixHDModel:
             0 if self.opt.no_instance else 1
         ), "D conditioning must not include encoder features"
         use_lsgan = not opt.no_lsgan
-        d_real = self.netD.apply(params["D"], jnp.concatenate([cond, real], axis=-1))
-        d_fake = self.netD.apply(params["D"], jnp.concatenate([cond, fake], axis=-1))
+        # batched pair apply, same as losses(): neither branch needs input
+        # gradients, IN is per-sample, cond partial conv tiles
+        rf = jnp.concatenate([real, fake], axis=0)
+        d_rf = self.netD.apply(params["D"], cond, rf)
+        nb = real.shape[0]
+        d_real = [[f[:nb] for f in scale] for scale in d_rf]
+        d_fake = [[f[nb:] for f in scale] for scale in d_rf]
         loss_d, loss_d_real, loss_d_fake = discriminator_loss(d_real, d_fake, use_lsgan)
         return loss_d, {"D_real": loss_d_real, "D_fake": loss_d_fake}
 

@@ -82,6 +82,13 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, precision=None):
         pad = [tuple(p) if isinstance(p, (tuple, list)) else (p, p) for p in padding]
     prec = precision or _PRECISION
     co = w.shape[-1]
+    if _s2d_eligible_padded(x, w, s, pad, prec):
+        xp = (
+            x
+            if pad == [(0, 0), (0, 0)]
+            else jnp.pad(x, [(0, 0), pad[0], pad[1], (0, 0)])
+        )
+        return conv2d_s2d(xp, w, b, stride=s[0], precision=prec)
     if prec == lax.Precision.DEFAULT and _LANE_PAD:
         ci = x.shape[-1]
         ci_t, co_t = _lane_pad_targets(ci, co)
@@ -129,6 +136,11 @@ _CONVT_IMPL = _os.environ.get("HIMAN_CONVT_IMPL", "auto")
 # end-to-end LOSS measured (74.1 vs 81.3 img/s, see _lane_pad_targets
 # docstring) — opt-in via HIMAN_LANE_PAD=1
 _LANE_PAD = _os.environ.get("HIMAN_LANE_PAD", "0") == "1"
+# lane-fold the IN stats reduce for c<128 (see instance_norm docstring).
+# Measured end-to-end: 82.79 vs 83.5 img/s baseline (and 81.57 when the
+# normalize was folded too) — the extra view splits the stats fusion and
+# loses more than full-lane reduction gains. Opt-in.
+_IN_LANE_FOLD = _os.environ.get("HIMAN_IN_LANE_FOLD", "0") == "1"
 
 
 def set_conv_transpose_impl(impl: str):
@@ -275,6 +287,160 @@ def conv_transpose2d(
     return y
 
 
+def _s2d(x):
+    """Space-to-depth by 2, NHWC, phase-major (row_phase, col_phase, C)."""
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def conv2d_s2d(x, w, b=None, *, stride=1, precision=None):
+    """k×k VALID conv computed in space-to-depth-by-2 coordinates.
+
+    Motivation (v5e profiling, 512x256 bs32 GAN step): the reference's
+    7×7 low-channel stems (39→64) and 4×4-stride-2 PatchGAN stems (39→64)
+    are MXU-starved — XLA picks batch-minor layouts for the sub-lane
+    channel counts and the weight-gradient convolutions degenerate
+    (12.7 ms for the 7×7×39×64 stem wgrad alone). Folding 2×2 space into
+    channels turns them into k'=⌈(k+1)/2⌉ convs at 4× the channels:
+    7×7×39→64 becomes 4×4×156→256 (output phases packed in channels,
+    depth-to-space at the end), and 4×4-s2 becomes 2×2×156→64 with no
+    output phases. Identical arithmetic modulo float summation order;
+    the padded-out-of-range taps are structural zeros.
+
+    x: ALREADY-PADDED input (N,Hp,Wp,Ci) with even Hp,Wp; stride ∈ {1,2}.
+    stride 1 additionally requires even output dims.
+    """
+    kh, kw, ci, co = w.shape
+    n, hp, wp, _ = x.shape
+    prec = precision or _PRECISION
+    xs = _s2d(x)
+    z = jnp.zeros_like(w[0, 0])
+
+    def tap(dh, dw):
+        if 0 <= dh < kh and 0 <= dw < kw:
+            return w[dh, dw]
+        return z
+
+    if stride == 1:
+        ka = (kh + 2) // 2  # s2d kernel extent: phases p + taps 0..k-1 span 2a+r
+        # W'[a,b, (r,s)·ci, (p,q)·co] = w[2a+r-p, 2b+s-q]
+        rows = []
+        for a in range(ka):
+            row = []
+            for bb in range(ka):
+                m = jnp.stack(
+                    [
+                        jnp.stack(
+                            [
+                                jnp.stack(
+                                    [
+                                        jnp.stack(
+                                            [tap(2 * a + r - p, 2 * bb + s - q) for q in range(2)],
+                                            0,
+                                        )
+                                        for p in range(2)
+                                    ],
+                                    0,
+                                )
+                                for s in range(2)
+                            ],
+                            0,
+                        )
+                        for r in range(2)
+                    ],
+                    0,
+                )  # (r, s, p, q, ci, co)
+                m = m.transpose(0, 1, 4, 2, 3, 5).reshape(4 * ci, 4 * co)
+                row.append(m)
+            rows.append(jnp.stack(row, 0))
+        wp_k = jnp.stack(rows, 0)  # (ka, ka, 4ci, 4co)
+        ys = lax.conv_general_dilated(
+            xs, wp_k, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=_DIMNUMS, precision=prec,
+        )
+        nb, ho2, wo2, _ = ys.shape
+        y = ys.reshape(nb, ho2, wo2, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(nb, 2 * ho2, 2 * wo2, co)
+    elif stride == 2:
+        ka = (kh + 1) // 2
+        # out[i,j] = Σ_{a,b,r,s} xs[i+a, j+b, (r,s)ci] · w[2a+r, 2b+s]
+        rows = []
+        for a in range(ka):
+            row = []
+            for bb in range(ka):
+                m = jnp.stack(
+                    [jnp.stack([tap(2 * a + r, 2 * bb + s) for s in range(2)], 0) for r in range(2)],
+                    0,
+                )  # (r, s, ci, co)
+                row.append(m.reshape(4 * ci, co))
+            rows.append(jnp.stack(row, 0))
+        wp_k = jnp.stack(rows, 0)  # (ka, ka, 4ci, co)
+        y = lax.conv_general_dilated(
+            xs, wp_k, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=_DIMNUMS, precision=prec,
+        )
+    else:
+        raise ValueError(f"conv2d_s2d: unsupported stride {stride}")
+    if b is not None:
+        y = y + b
+    return y
+
+
+# space-to-depth policy for low-channel convs on the perf path — a
+# comma-set of site classes: "stem" (7x7 s1, ci<64: G/encoder input convs),
+# "head" (7x7 s1, co<64: RGB output convs), "d" (4x4 s2, ci<64: PatchGAN
+# layer0). "0"/"" disables, "all" = every class.
+#
+# Measured END-TO-END (full GAN step 512x256 bs32 bf16, v5e, 2026-08-16,
+# baseline 82.98 img/s): stem 81.07, head 76.40, d 74.68, all 78.09 —
+# every class LOSES despite healthier matmul shapes (e.g. the stem wgrad
+# becomes [4,4,156,256] instead of the 12.7 ms/step [7,7,39,64] fusion):
+# the s2d/d2s transposes of full-res tensors and the disturbed fusion
+# schedule cost more than the MXU fill buys. Default OFF; opt in with
+# HIMAN_S2D_STEMS=stem,head,d to re-test on other shapes.
+_S2D_STEMS = _os.environ.get("HIMAN_S2D_STEMS", "0")
+
+
+def _s2d_classes():
+    v = _S2D_STEMS
+    if v in ("0", ""):
+        return set()
+    if v in ("1", "all"):
+        return {"stem", "head", "d"}
+    return set(p.strip() for p in v.split(","))
+
+
+def _s2d_eligible_padded(x, w, s, pad, prec):
+    """Eligibility for the s2d route given conv2d's normalized stride
+    tuple and [(ph,ph'),(pw,pw')] padding (applied to x before s2d)."""
+    if prec == lax.Precision.HIGHEST:
+        return False
+    classes = _s2d_classes()
+    if not classes:
+        return False
+    kh, kw, ci, co = w.shape
+    if ci >= 64 and co >= 64:
+        return False  # healthy shapes: XLA's direct lowering is fine
+    if s[0] != s[1]:
+        return False
+    if s[0] == 1:
+        cls = "stem" if ci < 64 else "head"
+    else:
+        cls = "d"
+    if cls not in classes:
+        return False
+    h = x.shape[1] + pad[0][0] + pad[0][1]
+    wd = x.shape[2] + pad[1][0] + pad[1][1]
+    if h % 2 or wd % 2:
+        return False
+    if s[0] == 1:
+        return (kh, kw) == (7, 7) and (h - 6) % 2 == 0 and (wd - 6) % 2 == 0
+    if s[0] == 2:
+        return (kh, kw) == (4, 4)
+    return False
+
+
 def instance_norm(x, *, eps=1e-5):
     """torch.nn.InstanceNorm2d(affine=False): per-(N,C) spatial standardize.
 
@@ -286,10 +452,41 @@ def instance_norm(x, *, eps=1e-5):
     policy the conv FLOPs stay bf16 on the MXU while the spatial mean/var
     reduction keeps full precision (bf16 mantissa is too short for
     HW-sized accumulations).
+
+    Parity path (Precision.HIGHEST): torch's literal two-pass form
+    (mean, then E[(x-mean)^2]). Perf path: ONE fused pass computing
+    (sum, sum-of-squares) so the (huge, full-res) input is read once for
+    statistics instead of twice — var = E[x^2]-E[x]^2 in fp32, clamped at
+    0 against cancellation. Profiling (v5e, 512x256 bs32 GAN step) put the
+    two-pass convert+reduce fusions at ~20% of step time.
     """
+    if _PRECISION == lax.Precision.HIGHEST:
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+        return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+
+    n, h, w, c = x.shape
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    f = 128 // c if (c < 128 and 128 % c == 0) else 1
+    if _IN_LANE_FOLD and f > 1 and w % f == 0:
+        # Lane-fold the STATS reduce only: a spatial reduce keeping (N,C)
+        # runs at c/128 of HBM bandwidth when c under-fills the 128 vector
+        # lanes (measured 4.5 ms vs the 2.0 ms roofline for IN fwd on
+        # [32,256,512,64]). (W, c) -> (W/f, f*c) is a free bitcast (W is
+        # adjacent to the minor C axis), so the reduction runs full-lane;
+        # the normalize below stays in the original view so it keeps
+        # fusing into its consumers.
+        xv = x.reshape(n, h, w // f, f * c).astype(jnp.float32)
+        s = jnp.sum(xv, axis=(1, 2)).reshape(n, f, c).sum(axis=1)
+        ss = jnp.sum(xv * xv, axis=(1, 2)).reshape(n, f, c).sum(axis=1)
+        cnt = float(h * w)
+        mean = (s / cnt)[:, None, None, :]
+        var = jnp.maximum((ss / cnt)[:, None, None, :] - mean * mean, 0.0)
+    else:
+        mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+        msq = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
+        var = jnp.maximum(msq - mean * mean, 0.0)
     return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
 
 
@@ -325,11 +522,72 @@ def avg_pool_3x3s2(x):
     return summed / counts
 
 
+def _mp2_forward(x):
+    n, h, w, c = x.shape
+    xr = x.reshape(n, h // 2, 2, w // 2, 2, c)
+    return jnp.max(xr, axis=(2, 4))
+
+
+@jax.custom_vjp
+def _max_pool_2x2_masked(x):
+    """torch.nn.MaxPool2d(2, 2) — used by VGG19 features.
+
+    Forward is a reshape-max; backward routes the cotangent to the FIRST
+    maximal element in torch's window scan order ((0,0),(0,1),(1,0),(1,1))
+    as pure elementwise masks — replacing XLA's select-and-scatter lowering
+    (measured ~5 ms/step of the 512x256 GAN step) with fusable selects.
+    Tie-routing matches torch CPU (argmax = first max), which matters after
+    ReLU where exact-zero ties are common.
+    """
+    return _mp2_forward(x)
+
+
+def _mp2_fwd(x):
+    # save ONLY x (already live as the next conv's input); the window max
+    # is recomputed in bwd from the four slices — no extra residual tensor
+    return _mp2_forward(x), x
+
+
+def _mp2_bwd(x, g):
+    n, h, w, c = x.shape
+    x00 = x[:, 0::2, 0::2]
+    x01 = x[:, 0::2, 1::2]
+    x10 = x[:, 1::2, 0::2]
+    x11 = x[:, 1::2, 1::2]
+    y = jnp.maximum(jnp.maximum(x00, x01), jnp.maximum(x10, x11))
+    m00 = x00 == y
+    m01 = (x01 == y) & ~m00
+    m10 = (x10 == y) & ~(m00 | m01)
+    m11 = ~(m00 | m01 | m10)
+    z = jnp.zeros_like(g)
+    row0 = jnp.stack([jnp.where(m00, g, z), jnp.where(m01, g, z)], axis=3)
+    row1 = jnp.stack([jnp.where(m10, g, z), jnp.where(m11, g, z)], axis=3)
+    dx = jnp.stack([row0, row1], axis=2)  # (n, h/2, 2, w/2, 2, c)
+    return (dx.reshape(n, h, w, c),)
+
+
+_max_pool_2x2_masked.defvjp(_mp2_fwd, _mp2_bwd)
+
+_MAXPOOL_IMPL = _os.environ.get("HIMAN_MAXPOOL_IMPL", "sas")
+
+
 def max_pool_2x2(x):
-    """torch.nn.MaxPool2d(2, 2) — used by VGG19 features."""
-    return lax.reduce_window(
-        x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
-    )
+    """torch.nn.MaxPool2d(2, 2). Impl selected by HIMAN_MAXPOOL_IMPL:
+    'masked' (custom VJP, elementwise first-max bwd) or 'sas'
+    (reduce_window; XLA lowers the bwd to select-and-scatter).
+
+    Measured END-TO-END (full GAN step 512x256 bs32 bf16, v5e,
+    2026-08-16): sas 82.98 img/s, masked saving (x,y) 76.58, masked
+    recomputing the max in bwd 75.79 — the strided-slice + interleave
+    backward loses more than select-and-scatter's ~5 ms/step costs, so
+    'sas' is the default. Both backwards route ties to the first max in
+    torch's scan order (SelectAndScatter's GE-select picks the first
+    match too), golden-tested vs torch CPU."""
+    if _MAXPOOL_IMPL == "sas":
+        return lax.reduce_window(
+            x, -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1), "VALID"
+        )
+    return _max_pool_2x2_masked(x)
 
 
 def upsample_nearest_2x(x):

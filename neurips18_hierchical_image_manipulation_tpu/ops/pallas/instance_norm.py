@@ -138,6 +138,11 @@ def _run_fwd(x3, relu):
             pltpu.VMEM((1, cblk), jnp.float32),
             pltpu.VMEM((1, cblk), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            # default scoped-vmem budget is 16M; the 2M blocks multi-buffer
+            # to ~16.02M at c=64 (measured OOM-by-18K on v5e) — raise it
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
     )(x3)
     return y, mean, rstd
 
@@ -205,6 +210,9 @@ def _run_bwd(x3, g3, mean, rstd):
             pltpu.VMEM((1, cblk), jnp.float32),
             pltpu.VMEM((1, cblk), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
     )(x3, g3, mean, rstd)
     return dx
 
@@ -230,15 +238,21 @@ def _pallas_in_bwd(relu, residuals, g):
 _pallas_in.defvjp(_pallas_in_fwd, _pallas_in_bwd)
 
 
-def fused_instance_norm(x, relu=False, residual=None, use_pallas=True):
+def fused_instance_norm(x, relu=False, residual=None, use_pallas=True, force=False):
     """NHWC fused IN(+residual)(+ReLU). Falls back to the lax composition
-    off-TPU or when use_pallas=False. Differentiable in both paths."""
+    off-TPU or when use_pallas=False. Differentiable in both paths.
+
+    ``force=True`` lifts the c%128 profitability gate down to c%64 (half
+    the lanes) — the big full-res INs (c=64 at 512x256) are HBM-bound, so
+    lane fill matters less than pass count there (microbenched via
+    tools/bench_in.py)."""
     n, h, w, c = x.shape
     # profitability gate (measured on v5e): the kernel wins when channels
     # fill the 128-lane registers; at c<128 XLA's fusion is faster. Also
     # require a legal TPU chunking of the spatial axis.
+    c_ok = c % 128 == 0 or (force and c % 64 == 0)
     shape_ok = (
-        c % 128 == 0
+        c_ok
         and _pick_chunks(h * w, c, x.dtype.itemsize) is not None
         and _pick_chunks(h * w, c, x.dtype.itemsize, budget=_BWD_BLOCK_BYTES)
         is not None

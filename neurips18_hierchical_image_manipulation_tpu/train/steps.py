@@ -96,11 +96,19 @@ def make_pooled_train_steps(model, vgg_params=None, compute_dtype=None):
         rng, sub = jax.random.split(state.rng)
         wants_rng = callable(getattr(model, "wants_rng", None)) and model.wants_rng()
 
+        import inspect
+
+        supports_g_only = "g_only" in inspect.signature(model.losses).parameters
+
         def loss(pg_side):
             model_params = dict(pg_side)
             model_params["D"] = jax.tree.map(lax.stop_gradient, state.params["D"])
             params, b, vgg = cast_in(model_params, batch, vgg_params)
             kw = {"rng": sub} if wants_rng else {}
+            if supports_g_only:
+                # skip the D-side loss entirely — d_step recomputes it
+                # against the pool-replayed fake anyway
+                kw["g_only"] = True
             total, (metrics, fake) = model.losses(params, b, vgg_params=vgg, **kw)
             g_metrics = {k: v for k, v in metrics.items() if k.startswith("G")}
             g_total = sum(g_metrics.values())

@@ -9,6 +9,9 @@ import json
 import os
 import time
 
+import os as _os_, sys as _sys_
+_sys_.path.insert(0, _os_.path.join(_os_.path.dirname(_os_.path.abspath(__file__)), ".."))
+
 import numpy as np
 
 

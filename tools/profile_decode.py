@@ -14,6 +14,9 @@ import re
 import sys
 from collections import defaultdict
 
+import os as _os_, sys as _sys_
+_sys_.path.insert(0, _os_.path.join(_os_.path.dirname(_os_.path.abspath(__file__)), ".."))
+
 import numpy as np
 
 
@@ -101,8 +104,57 @@ def main():
             if m:
                 instr[m.group(1)] = line
 
+    import argparse as _ap
+    _args = _ap.ArgumentParser()
+    _args.add_argument("--dump", default=None, help="print the full body of this fusion's called computation and exit")
+    _a, _ = _args.parse_known_args()
+    if _a.dump:
+        line = instr.get(_a.dump, "")
+        print(line)
+        m = re.search(r"(?:calls|to_apply)=%?([\w\.\-]+)", line)
+        if m and m.group(1) in comps:
+            for bl in comps[m.group(1)]:
+                print("   ", bl[:240])
+        return
+
     by_name = load_trace()
     top = sorted(by_name.items(), key=lambda kv: -kv[1])[:40]
+
+    # ---- region aggregation: trace op -> HLO metadata op_name bucket ----
+    meta_of = {}
+    for name, line in instr.items():
+        m = re.search(r'op_name="([^"]*)"', line)
+        if m:
+            meta_of[name] = m.group(1)
+
+    def region(op_name):
+        if "Vgg19Features" in op_name:
+            return "VGG bwd" if "transpose" in op_name else "VGG fwd"
+        if "MultiscaleDiscriminator" in op_name:
+            return "D bwd" if "transpose" in op_name else "D fwd"
+        if "GlobalGenerator" in op_name or "LocalEnhancer" in op_name:
+            g = "G bwd" if "transpose" in op_name else "G fwd"
+            if "instance_norm" in op_name:
+                g += " (IN)"
+            return g
+        if "adam" in op_name or "update" in op_name.lower():
+            return "optimizer"
+        return "other"
+
+    reg = defaultdict(float)
+    unattr = 0.0
+    for n, d in by_name.items():
+        base = n.split(".remat")[0]
+        m = meta_of.get(n) or meta_of.get(base) or meta_of.get(n.split(".clone")[0])
+        if m is None:
+            unattr += d
+            reg["(unattributed)"] += d
+        else:
+            reg[region(m)] += d
+    print("== region aggregates (3 steps) ==")
+    tot = sum(by_name.values())
+    for n, d in sorted(reg.items(), key=lambda kv: -kv[1]):
+        print(f"{d/1e3:10.2f} ms  {100*d/tot:5.1f}%  {n}")
 
     # class aggregates by stripping trailing .N / digits
     agg = defaultdict(float)

@@ -12,6 +12,9 @@ import os
 import time
 from collections import defaultdict
 
+import os as _os_, sys as _sys_
+_sys_.path.insert(0, _os_.path.join(_os_.path.dirname(_os_.path.abspath(__file__)), ".."))
+
 import numpy as np
 
 
