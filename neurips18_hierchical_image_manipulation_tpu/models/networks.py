@@ -45,6 +45,15 @@ class Conv(nn.Module):
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    # dead_bias: an InstanceNorm(affine=False) follows, which cancels a
+    # per-channel constant shift EXACTLY (it subtracts the per-(N,C)
+    # spatial mean), so the bias has zero effect on the output and an
+    # exactly-zero gradient. Declaring-but-not-applying it keeps the param
+    # tree / checkpoint layout identical while deleting the full-res bias
+    # add and its backward reduce (measured ~10 ms/step of reduce_sum at
+    # 512x256 bs32 across the conv+IN sites). torch's bias is equally
+    # inert there — loaded checkpoint values change nothing either way.
+    dead_bias: bool = False
 
     @nn.compact
     def __call__(self, x, x2=None):
@@ -55,6 +64,8 @@ class Conv(nn.Module):
             (self.kernel, self.kernel, ci, self.features),
         )
         b = self.param("bias", zeros_init, (self.features,)) if self.use_bias else None
+        if self.dead_bias:
+            b = None
         if x2 is None:
             return nnops.conv2d(x, w, b, stride=self.stride, padding=self.padding)
         c1 = x.shape[-1]
@@ -81,6 +92,7 @@ class ConvTranspose(nn.Module):
     stride: int = 2
     padding: int = 1
     output_padding: int = 1
+    dead_bias: bool = False  # see Conv.dead_bias — IN follows and cancels it
 
     @nn.compact
     def __call__(self, x):
@@ -90,6 +102,8 @@ class ConvTranspose(nn.Module):
             (self.kernel, self.kernel, x.shape[-1], self.features),
         )
         b = self.param("bias", zeros_init, (self.features,))
+        if self.dead_bias:
+            b = None
         return nnops.conv_transpose2d(
             x,
             w,
@@ -134,13 +148,14 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        db = self.norm == "instance"
         h = nnops.reflect_pad(x, 1)
-        h = Conv(self.dim, 3, name="conv1")(h)
+        h = Conv(self.dim, 3, name="conv1", dead_bias=db)(h)
         h = norm_act(h, self.norm, "relu")
         if self.dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = nnops.reflect_pad(h, 1)
-        h = Conv(self.dim, 3, name="conv2")(h)
+        h = Conv(self.dim, 3, name="conv2", dead_bias=db)(h)
         if self.norm == "instance":
             from ..ops.pallas import config as pallas_config
             from ..ops.pallas.instance_norm import fused_instance_norm
@@ -165,12 +180,17 @@ class GlobalGenerator(nn.Module):
     remat: bool = False  # jax.checkpoint each resblock: FLOPs for HBM
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, x2=None, train: bool = False):
+        # optional x2: channel-concat semantics via the split-stem Conv
+        # (see Conv) — callers pass (cond, masked_rgb/feat) separately so
+        # the full-res 39ch input concat never materializes
+        db = self.norm == "instance"
         h = nnops.reflect_pad(x, 3)
-        h = Conv(self.ngf, 7, name="conv_in")(h)
+        h2 = nnops.reflect_pad(x2, 3) if x2 is not None else None
+        h = Conv(self.ngf, 7, name="conv_in", dead_bias=db)(h, h2)
         h = norm_act(h, self.norm)
         for i in range(self.n_downsampling):
-            h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}")(h)
+            h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
             h = norm_act(h, self.norm)
         block_cls = (
             nn.remat(ResnetBlock, static_argnums=(2,)) if self.remat else ResnetBlock
@@ -184,7 +204,7 @@ class GlobalGenerator(nn.Module):
             )(h, train)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
-            h = ConvTranspose(self.ngf * mult // 2, name=f"up{i}")(h)
+            h = ConvTranspose(self.ngf * mult // 2, name=f"up{i}", dead_bias=db)(h)
             h = norm_act(h, self.norm)
         h = nnops.reflect_pad(h, 3)
         h = Conv(self.output_nc, 7, name="conv_out")(h)
@@ -202,12 +222,14 @@ class _GlobalBackbone(nn.Module):
     dropout: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, x2=None, train: bool = False):
+        db = self.norm == "instance"
         h = nnops.reflect_pad(x, 3)
-        h = Conv(self.ngf, 7, name="conv_in")(h)
+        h2 = nnops.reflect_pad(x2, 3) if x2 is not None else None
+        h = Conv(self.ngf, 7, name="conv_in", dead_bias=db)(h, h2)
         h = norm_act(h, self.norm)
         for i in range(self.n_downsampling):
-            h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}")(h)
+            h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
             h = norm_act(h, self.norm)
         for i in range(self.n_blocks):
             h = ResnetBlock(
@@ -218,7 +240,7 @@ class _GlobalBackbone(nn.Module):
             )(h, train)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
-            h = ConvTranspose(self.ngf * mult // 2, name=f"up{i}")(h)
+            h = ConvTranspose(self.ngf * mult // 2, name=f"up{i}", dead_bias=db)(h)
             h = norm_act(h, self.norm)
         return h
 
@@ -240,11 +262,17 @@ class LocalEnhancer(nn.Module):
     dropout: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        # build the input pyramid: x at full res, downsampled per enhancer
+    def __call__(self, x, x2=None, train: bool = False):
+        # build the input pyramid: x at full res, downsampled per enhancer.
+        # x2 (optional split-stem second input, see Conv) gets its own
+        # pyramid so the parts never concatenate at full res.
         pyramid = [x]
+        pyramid2 = [x2]
         for _ in range(self.n_local_enhancers):
             pyramid.append(nnops.avg_pool_3x3s2(pyramid[-1]))
+            pyramid2.append(
+                nnops.avg_pool_3x3s2(pyramid2[-1]) if x2 is not None else None
+            )
 
         ngf_global = self.ngf * (2**self.n_local_enhancers)
         out = _GlobalBackbone(
@@ -254,22 +282,25 @@ class LocalEnhancer(nn.Module):
             self.norm,
             self.dropout,
             name="global",
-        )(pyramid[-1], train)
+        )(pyramid[-1], pyramid2[-1], train)
 
         for n in range(1, self.n_local_enhancers + 1):
             ngf_n = self.ngf * (2 ** (self.n_local_enhancers - n))
             inp = pyramid[self.n_local_enhancers - n]
+            inp2 = pyramid2[self.n_local_enhancers - n]
+            db = self.norm == "instance"
             h = nnops.reflect_pad(inp, 3)
-            h = Conv(ngf_n, 7, name=f"local{n}_conv_in")(h)
+            h2 = nnops.reflect_pad(inp2, 3) if inp2 is not None else None
+            h = Conv(ngf_n, 7, name=f"local{n}_conv_in", dead_bias=db)(h, h2)
             h = norm_act(h, self.norm)
-            h = Conv(ngf_n * 2, 3, stride=2, padding=1, name=f"local{n}_down")(h)
+            h = Conv(ngf_n * 2, 3, stride=2, padding=1, name=f"local{n}_down", dead_bias=db)(h)
             h = norm_act(h, self.norm)
             h = h + out  # fuse trunk features
             for i in range(self.n_blocks_local):
                 h = ResnetBlock(
                     ngf_n * 2, self.norm, self.dropout, name=f"local{n}_res{i}"
                 )(h, train)
-            h = ConvTranspose(ngf_n, name=f"local{n}_up")(h)
+            h = ConvTranspose(ngf_n, name=f"local{n}_up", dead_bias=db)(h)
             h = norm_act(h, self.norm)
             out = h
 
@@ -298,13 +329,14 @@ class NLayerDiscriminator(nn.Module):
         h = nnops.leaky_relu(h, 0.2)
         feats.append(h)
         nf = self.ndf
+        db = self.norm == "instance"
         for n in range(1, self.n_layers):
             nf = min(nf * 2, 512)
-            h = Conv(nf, 4, stride=2, padding=padw, name=f"layer{n}")(h)
+            h = Conv(nf, 4, stride=2, padding=padw, name=f"layer{n}", dead_bias=db)(h)
             h = norm_act(h, self.norm, "lrelu")
             feats.append(h)
         nf = min(nf * 2, 512)
-        h = Conv(nf, 4, stride=1, padding=padw, name=f"layer{self.n_layers}")(h)
+        h = Conv(nf, 4, stride=1, padding=padw, name=f"layer{self.n_layers}", dead_bias=db)(h)
         h = norm_act(h, self.norm, "lrelu")
         feats.append(h)
         h = Conv(1, 4, stride=1, padding=padw, name=f"layer{self.n_layers + 1}")(h)
@@ -369,15 +401,16 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, img, inst):
+        db = self.norm == "instance"
         h = nnops.reflect_pad(img, 3)
-        h = Conv(self.nef, 7, name="conv_in")(h)
+        h = Conv(self.nef, 7, name="conv_in", dead_bias=db)(h)
         h = norm_act(h, self.norm)
         for i in range(self.n_downsampling):
-            h = Conv(self.nef * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}")(h)
+            h = Conv(self.nef * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
             h = norm_act(h, self.norm)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
-            h = ConvTranspose(self.nef * mult // 2, name=f"up{i}")(h)
+            h = ConvTranspose(self.nef * mult // 2, name=f"up{i}", dead_bias=db)(h)
             h = norm_act(h, self.norm)
         h = nnops.reflect_pad(h, 3)
         h = Conv(self.feat_num, 7, name="conv_out")(h)
@@ -452,14 +485,15 @@ class TwoStreamStructureGenerator(nn.Module):
         """masked_layout: (B,H,W,label_nc); boxmask: (B,H,W,1);
         class_onehot: (B,label_nc). Returns (layout_logits, mask_logit,
         merged_probs)."""
+        db = self.norm == "instance"
         x = jnp.concatenate([masked_layout, boxmask], axis=-1)
         h = nnops.reflect_pad(x, 3)
-        h = Conv(self.ngf, 7, name="enc_in")(h)
+        h = Conv(self.ngf, 7, name="enc_in", dead_bias=db)(h)
         h = norm_act(h, self.norm)
         skips = []
         for i in range(self.n_downsampling):
             skips.append(h)
-            h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"enc_down{i}")(h)
+            h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"enc_down{i}", dead_bias=db)(h)
             h = norm_act(h, self.norm)
 
         # class conditioning at the bottleneck: tile one-hot class over space
@@ -467,7 +501,7 @@ class TwoStreamStructureGenerator(nn.Module):
         cls = jnp.broadcast_to(
             class_onehot[:, None, None, :], (b, hh, ww, class_onehot.shape[-1])
         )
-        h = Conv(self.ngf * 2**self.n_downsampling, 1, name="cls_fuse")(
+        h = Conv(self.ngf * 2**self.n_downsampling, 1, name="cls_fuse", dead_bias=db)(
             jnp.concatenate([h, cls], axis=-1)
         )
         h = norm_act(h, self.norm)
@@ -477,7 +511,7 @@ class TwoStreamStructureGenerator(nn.Module):
         def decoder(tag, out_nc, h):
             for i in range(self.n_downsampling):
                 mult = 2 ** (self.n_downsampling - i)
-                h = ConvTranspose(self.ngf * mult // 2, name=f"{tag}_up{i}")(h)
+                h = ConvTranspose(self.ngf * mult // 2, name=f"{tag}_up{i}", dead_bias=db)(h)
                 h = norm_act(h, self.norm)
                 h = h + skips[self.n_downsampling - 1 - i]  # U-Net skip (add)
             h = nnops.reflect_pad(h, 3)

@@ -106,20 +106,31 @@ class Pix2PixHDModel:
         # follow the image dtype so the bf16 policy reaches the one-hot
         # conditioning tensors built on-device here
         dt = batch["image"].dtype if "image" in batch else jnp.float32
-        label_oh = onehot_edges.one_hot_label(batch["label"], self.opt.label_nc, dtype=dt)
-        parts = [label_oh]
-        if not self.opt.no_instance:
-            parts.append(onehot_edges.instance_edges(batch["inst"], dtype=dt))
-        cond = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else label_oh
-        g_parts = [cond]
+        # fused one-hot+edge build (single select, no full-res concat)
+        cond = onehot_edges.encode_input(
+            batch["label"],
+            None if self.opt.no_instance else batch["inst"],
+            self.opt.label_nc,
+            dtype=dt,
+        )
+        g_extra = []
         if getattr(self.opt, "use_masked_image", False):
             boxes = batch["boxes"]
             masked = boxcomposite.mask_box(batch["image"], boxes, fill=0.0)
-            g_parts.append(masked)
+            g_extra.append(masked)
         if self.use_features() and params is not None:
-            g_parts.append(self._instance_features(params, batch).astype(dt))
-        g_input = jnp.concatenate(g_parts, axis=-1) if len(g_parts) > 1 else cond
-        return g_input, cond, batch.get("image")
+            g_extra.append(self._instance_features(params, batch).astype(dt))
+        # g_input is (cond, extra) — netG's split stem consumes the parts
+        # directly (Conv(x, x2) partial-conv trick), so the full-res
+        # (cond ⊕ masked ⊕ feat) concat (measured 8.4 ms/step at 512x256
+        # bs32: XLA re-lays the 36->39ch lane tiles) never materializes.
+        # The tiny extra concat (3-6 ch) is cheap.
+        extra = (
+            jnp.concatenate(g_extra, axis=-1)
+            if len(g_extra) > 1
+            else (g_extra[0] if g_extra else None)
+        )
+        return (cond, extra), cond, batch.get("image")
 
     # ---- init ----
 
@@ -132,7 +143,7 @@ class Pix2PixHDModel:
         g_input, cond, real = self.encode_input(
             batch, params=params if self.netE is not None else None
         )
-        params["G"] = self.netG.init(kg, g_input)
+        params["G"] = self.netG.init(kg, *g_input)
         if self.netD is not None:
             params["D"] = self.netD.init(kd, cond, real)
         if self.vgg is not None:
@@ -161,10 +172,10 @@ class Pix2PixHDModel:
                     "must pass losses(..., rng=key)"
                 )
             fake = self.netG.apply(
-                params["G"], g_input, train=True, rngs={"dropout": rng}
+                params["G"], *g_input, train=True, rngs={"dropout": rng}
             )
         else:
-            fake = self.netG.apply(params["G"], g_input)
+            fake = self.netG.apply(params["G"], *g_input)
 
         use_lsgan = not opt.no_lsgan
         d_sg = _sg_tree(params["D"])
@@ -254,4 +265,4 @@ class Pix2PixHDModel:
         g_input, _, _ = self.encode_input(
             batch, params=params if self.netE is not None else None
         )
-        return self.netG.apply(params["G"], g_input)
+        return self.netG.apply(params["G"], *g_input)

@@ -82,6 +82,8 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, precision=None):
         pad = [tuple(p) if isinstance(p, (tuple, list)) else (p, p) for p in padding]
     prec = precision or _PRECISION
     co = w.shape[-1]
+    if _phasepack_eligible(x, w, s, pad, prec):
+        return conv2d_phasepack(x, w, b, precision=prec)
     if _s2d_eligible_padded(x, w, s, pad, prec):
         xp = (
             x
@@ -282,6 +284,65 @@ def conv_transpose2d(
         dimension_numbers=_DIMNUMS,
         precision=precision or _PRECISION,
     )
+    if b is not None:
+        y = y + b
+    return y
+
+
+# phase-packed lowering of the 7x7 stride-1 tiny-co "head" convs (the
+# G/Encoder RGB output conv 64->3 at full res). Motivation (v5e trace,
+# 512x256 bs32 GAN step, tools/trace_attrib.py): the head conv costs
+# 17.8 ms fwd + ~14 ms bwd at 4.5 TFLOP/s because co=3 still pays a full
+# 128-lane output tile — the conv runs EXACTLY as fast as a 64->128 conv
+# (17.9 ms roofline), 125/128 lanes dead. The fix: compute a stride-4
+# conv whose kernel embeds the 7x7 taps at all 4x4 output phase offsets
+# (K4[a,b,:, (p,q,c)] = W[a-p, b-q, :, c]), giving co=16*3=48 in ONE
+# output tile, then depth-to-space. ~3.2x padded FLOPs at ~42/3.2 = 13x
+# better lane economics; no input transpose. Exact same arithmetic per
+# output element (modulo float summation order).
+_HEAD_PACK = _os.environ.get("HIMAN_HEAD_PACK", "1") == "1"
+
+
+def _phasepack_eligible(x, w, s, pad, prec):
+    if prec == lax.Precision.HIGHEST or not _HEAD_PACK:
+        return False
+    kh, kw, ci, co = w.shape
+    if (kh, kw) != (7, 7) or co > 16 or ci < 32:
+        return False
+    if s != (1, 1) or pad != [(0, 0), (0, 0)]:
+        return False
+    n, hp, wp, _ = x.shape
+    return (hp - 6) % 4 == 0 and (wp - 6) % 4 == 0
+
+
+def conv2d_phasepack(x, w, b=None, *, precision=None):
+    """7x7 VALID stride-1 conv via a stride-4 phase-embedded kernel.
+
+    x: pre-padded (N, Ho+6, Wo+6, Ci) with Ho,Wo % 4 == 0; w: (7,7,Ci,Co).
+    out[4i+p, 4j+q, c] = sum_d xpad[4i+p+d] W[d] == stride-4 conv with
+    K4[a,b,:,(p,q,c)] = W[a-p, b-q, :, c] (zero outside 0<=a-p<7), kernel
+    extent 10, followed by depth-to-space. Grads flow by plain AD: the
+    kernel embed is pad/concat (transposes to slice/add on dW) and the
+    input grad lowers to a stride-4-dilated conv with co=Ci, both of
+    which keep full output tiles."""
+    kh, kw, ci, co = w.shape
+    n, hp, wp, _ = x.shape
+    ho, wo = hp - 6, wp - 6
+    prec = precision or _PRECISION
+    k4 = jnp.concatenate(
+        [
+            jnp.pad(w, ((p, 3 - p), (q, 3 - q), (0, 0), (0, 0)))
+            for p in range(4)
+            for q in range(4)
+        ],
+        axis=-1,
+    )  # (10, 10, ci, 16*co), phase-major output channels
+    y4 = lax.conv_general_dilated(
+        x, k4, window_strides=(4, 4), padding="VALID",
+        dimension_numbers=_DIMNUMS, precision=prec,
+    )  # (n, ho/4, wo/4, 16*co)
+    y = y4.reshape(n, ho // 4, wo // 4, 4, 4, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, ho, wo, co)
     if b is not None:
         y = y + b
     return y

@@ -33,26 +33,36 @@ def instance_edges(inst, dtype=jnp.float32):
 
     Exactly reproduces pix2pixHD ``get_edges``: edge[:, 1:] |= inst[:, 1:]
     != inst[:, :-1] in all four shift directions (so both pixels adjacent
-    to a boundary are marked), borders stay zero-extended.
-    """
+    to a boundary are marked), borders stay zero-extended. Implemented as
+    shifted-compare + zero-pad + OR (no scatter: the .at[].set form
+    lowered to ~1.6 ms/step of XLA scatter at 512x256 bs32)."""
     inst = inst.astype(jnp.int32)
-    e = jnp.zeros(inst.shape, dtype=jnp.bool_)
-    # horizontal neighbours (W axis)
     dif_w = inst[:, :, 1:] != inst[:, :, :-1]
-    e = e.at[:, :, 1:].set(e[:, :, 1:] | dif_w)
-    e = e.at[:, :, :-1].set(e[:, :, :-1] | dif_w)
-    # vertical neighbours (H axis)
     dif_h = inst[:, 1:, :] != inst[:, :-1, :]
-    e = e.at[:, 1:, :].set(e[:, 1:, :] | dif_h)
-    e = e.at[:, :-1, :].set(e[:, :-1, :] | dif_h)
+
+    def padw(x, before, after):
+        return jnp.pad(x, ((0, 0), (0, 0), (before, after)))
+
+    def padh(x, before, after):
+        return jnp.pad(x, ((0, 0), (before, after), (0, 0)))
+
+    e = padw(dif_w, 1, 0) | padw(dif_w, 0, 1) | padh(dif_h, 1, 0) | padh(dif_h, 0, 1)
     return e.astype(dtype)[..., None]
 
 
 def encode_input(label_ids, inst=None, label_nc=35, dtype=jnp.float32):
     """Fused encode_input: one-hot [+ edge channel]. Returns (B,H,W,C)
     with C = label_nc (+1 when inst given) — the generator/discriminator
-    conditioning tensor."""
-    x = one_hot_label(label_ids, label_nc, dtype)
-    if inst is not None:
-        x = jnp.concatenate([x, instance_edges(inst, dtype)], axis=-1)
-    return x
+    conditioning tensor.
+
+    The one-hot and edge channels are built in ONE elementwise select over
+    the output channel index instead of concatenating two full-res
+    tensors — the concat re-lays the 35->36ch lane tiles and measured
+    5.5 ms/step at 512x256 bs32; this form fuses to a single write."""
+    if inst is None:
+        return one_hot_label(label_ids, label_nc, dtype)
+    ids = label_ids.astype(jnp.int32)[..., None]
+    edge = instance_edges(inst, jnp.bool_)
+    c_idx = jnp.arange(label_nc + 1, dtype=jnp.int32)
+    cond = jnp.where(c_idx == label_nc, edge, ids == c_idx)
+    return cond.astype(dtype)

@@ -66,10 +66,12 @@ def test_mask2image_train_step_runs_and_improves(rng):
     g5 = float(metrics["G_GAN"] + metrics["G_GAN_Feat"])
     assert np.isfinite(g5)
     assert g5 < g0 * 1.5  # moving, not exploding
-    # params actually updated
-    leaf0 = jax.tree.leaves(state.params["G"])[0]
-    leaf1 = jax.tree.leaves(s.params["G"])[0]
-    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
+    # params actually updated. Probe a KERNEL leaf: biases of conv+IN
+    # layers are dead (IN cancels them exactly — networks.Conv.dead_bias)
+    # and stay at init by design.
+    k0 = state.params["G"]["params"]["conv_in"]["kernel"]
+    k1 = s.params["G"]["params"]["conv_in"]["kernel"]
+    assert not np.allclose(np.asarray(k0), np.asarray(k1))
 
 
 def test_box2mask_train_step(rng):

@@ -105,7 +105,7 @@ def main():
             bb = {k: v.astype(jnp.bfloat16) if v.dtype == jnp.float32 else v
                   for k, v in b.items()}
             g_input, _, _ = model.encode_input(bb)
-            fake = model.netG.apply(p["G"], g_input)
+            fake = model.netG.apply(p["G"], *g_input)
             return jnp.mean(jnp.abs(fake)).astype(jnp.float32)
 
         tx = optax.adam(2e-4, b1=0.5)
