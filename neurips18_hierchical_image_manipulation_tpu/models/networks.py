@@ -54,9 +54,35 @@ class Conv(nn.Module):
     # 512x256 bs32 across the conv+IN sites). torch's bias is equally
     # inert there — loaded checkpoint values change nothing either way.
     dead_bias: bool = False
+    # packed_s2d2: x is space-to-depth-by-2 packed (N,H/2,W/2,4*Ci); the
+    # conv (3x3 s1 SAME only) computes fully in packed coordinates with
+    # the SAME (3,3,Ci,Co) kernel param — see nnops.conv2d_s2d_same_packed
+    packed_s2d2: bool = False
+    # packed_s2d_io: pre-padded packed input, packed VALID output (the
+    # packed generator stem conv) — nnops.conv2d_s2d_packed_io
+    packed_s2d_io: bool = False
+    # packed_s2d_in: packed input, natural unpacked stride-2 output (the
+    # packed-region exit, down0) — nnops.conv2d_s2d_stride2_packed_in
+    packed_s2d_in: bool = False
 
     @nn.compact
     def __call__(self, x, x2=None):
+        if self.packed_s2d2 or self.packed_s2d_io or self.packed_s2d_in:
+            assert x2 is None
+            ci = x.shape[-1] // 4
+            w = self.param(
+                "kernel", conv_init, (self.kernel, self.kernel, ci, self.features)
+            )
+            b = self.param("bias", zeros_init, (self.features,)) if self.use_bias else None
+            if self.dead_bias:
+                b = None
+            if self.packed_s2d_io:
+                return nnops.conv2d_s2d_packed_io(x, w, b)
+            if self.packed_s2d_in:
+                assert self.kernel == 3 and self.stride == 2 and self.padding == 1
+                return nnops.conv2d_s2d_stride2_packed_in(x, w, b)
+            assert self.kernel == 3 and self.stride == 1
+            return nnops.conv2d_s2d_same_packed(x, w, b)
         ci = x.shape[-1] + (x2.shape[-1] if x2 is not None else 0)
         w = self.param(
             "kernel",
@@ -182,14 +208,30 @@ class GlobalGenerator(nn.Module):
     @nn.compact
     def __call__(self, x, x2=None, train: bool = False):
         # optional x2: channel-concat semantics via the split-stem Conv
-        # (see Conv) — callers pass (cond, masked_rgb/feat) separately so
-        # the full-res 39ch input concat never materializes
+        # (see Conv). x may also be a nnops.PackedStemInput: pre-padded
+        # s2d-by-2 packed stem input — conv_in runs packed-io, IN+relu
+        # stay packed, down0 consumes packed and exits unpacked. Param
+        # tree is IDENTICAL across the three forms.
         db = self.norm == "instance"
-        h = nnops.reflect_pad(x, 3)
-        h2 = nnops.reflect_pad(x2, 3) if x2 is not None else None
-        h = Conv(self.ngf, 7, name="conv_in", dead_bias=db)(h, h2)
-        h = norm_act(h, self.norm)
-        for i in range(self.n_downsampling):
+        start = 0
+        if isinstance(x, nnops.PackedStemInput):
+            assert x2 is None and self.norm == "instance"
+            h2 = Conv(self.ngf, 7, name="conv_in", dead_bias=db, packed_s2d_io=True)(
+                x.packed
+            )
+            h2 = nnops.relu(nnops.instance_norm_packed(h2, self.ngf))
+            h = Conv(
+                self.ngf * 2, 3, stride=2, padding=1, name="down0",
+                dead_bias=db, packed_s2d_in=True,
+            )(h2)
+            h = norm_act(h, self.norm)
+            start = 1
+        else:
+            h = nnops.reflect_pad(x, 3)
+            h2 = nnops.reflect_pad(x2, 3) if x2 is not None else None
+            h = Conv(self.ngf, 7, name="conv_in", dead_bias=db)(h, h2)
+            h = norm_act(h, self.norm)
+        for i in range(start, self.n_downsampling):
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
             h = norm_act(h, self.norm)
         block_cls = (
@@ -442,10 +484,38 @@ class Vgg19Features(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Perf path: block 1 (conv1_1, conv1_2, pool1) computes in
+        # space-to-depth-by-2 coordinates. At 512x256 the 3->64 and 64->64
+        # convs under-fill the 128 lanes (measured 5.3 ms/step at 5.7 TF/s
+        # and 13.1 ms at 70 TF/s); packed they run 12->256 / 256->256 at
+        # full tiles (~4x padded FLOPs, net win), the 2x2-s2 maxpool
+        # degenerates to a free phase max (whose select-and-scatter
+        # backward cost 4.9 ms), and nothing is unpacked in between — the
+        # relu1_1 loss tap is consumed element-bijectively by the
+        # mean-|a-b| perceptual loss, so its packed layout changes no loss
+        # value. Param tree identical (Conv.packed_s2d2 reuses the same
+        # kernels). Parity tier (HIGHEST) keeps the literal lowering.
+        pack1 = (
+            nnops.vgg_pack_enabled()
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        )
         taps = []
         h = x
         for b, widths in enumerate(self.cfg):
-            if b > 0:
+            if b == 0 and pack1:
+                h2 = nnops.s2d2(x)
+                h2 = nnops.relu(
+                    Conv(64, 3, padding=1, name="conv1_1", packed_s2d2=True)(h2)
+                )
+                taps.append(h2)
+                h2 = nnops.relu(
+                    Conv(64, 3, padding=1, name="conv1_2", packed_s2d2=True)(h2)
+                )
+                # pool1 comes out of the phase max; block 2 must not pool again
+                h = nnops.phase_max_pool_packed(h2, 64)
+                continue
+            if b > 0 and not (b == 1 and pack1):
                 h = nnops.max_pool_2x2(h)
             for c, width in enumerate(widths):
                 h = Conv(width, 3, padding=1, name=f"conv{b + 1}_{c + 1}")(h)

@@ -36,7 +36,7 @@ from ..losses import (
     gan_loss,
     vgg_loss,
 )
-from ..ops import boxcomposite, onehot_edges
+from ..ops import boxcomposite, nnops, onehot_edges
 from . import networks
 
 
@@ -106,13 +106,7 @@ class Pix2PixHDModel:
         # follow the image dtype so the bf16 policy reaches the one-hot
         # conditioning tensors built on-device here
         dt = batch["image"].dtype if "image" in batch else jnp.float32
-        # fused one-hot+edge build (single select, no full-res concat)
-        cond = onehot_edges.encode_input(
-            batch["label"],
-            None if self.opt.no_instance else batch["inst"],
-            self.opt.label_nc,
-            dtype=dt,
-        )
+        inst = None if self.opt.no_instance else batch["inst"]
         g_extra = []
         if getattr(self.opt, "use_masked_image", False):
             boxes = batch["boxes"]
@@ -120,17 +114,56 @@ class Pix2PixHDModel:
             g_extra.append(masked)
         if self.use_features() and params is not None:
             g_extra.append(self._instance_features(params, batch).astype(dt))
-        # g_input is (cond, extra) — netG's split stem consumes the parts
-        # directly (Conv(x, x2) partial-conv trick), so the full-res
-        # (cond ⊕ masked ⊕ feat) concat (measured 8.4 ms/step at 512x256
-        # bs32: XLA re-lays the 36->39ch lane tiles) never materializes.
-        # The tiny extra concat (3-6 ch) is cheap.
-        extra = (
-            jnp.concatenate(g_extra, axis=-1)
-            if len(g_extra) > 1
-            else (g_extra[0] if g_extra else None)
+        if g_extra:
+            rgb = g_extra[0] if len(g_extra) == 1 else jnp.concatenate(g_extra, -1)
+            h, w = batch["label"].shape[1:3]
+            if (
+                nnops.stem_pack_enabled()
+                and isinstance(self.netG, networks.GlobalGenerator)
+                and h % 2 == 0
+                and w % 2 == 0
+            ):
+                # packed stem region: build the generator input pre-padded
+                # (reflect 3 == the stem's ReflectionPad) and s2d-by-2
+                # packed in ONE fused write; GlobalGenerator runs conv_in/
+                # IN/relu/down0 fully packed (58->full-tile MXU economics
+                # for the 39->64 7x7 stem). D's cond is built separately
+                # (it needs the unpacked pyramid anyway).
+                ids_p = jnp.pad(
+                    batch["label"].astype(jnp.int32),
+                    ((0, 0), (3, 3), (3, 3)),
+                    mode="reflect",
+                )
+                edge_p = None
+                if inst is not None:
+                    edge = onehot_edges.instance_edges(inst, jnp.bool_)
+                    edge_p = jnp.pad(
+                        edge, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect"
+                    )
+                rgb_p = jnp.pad(
+                    rgb, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect"
+                )
+                g_packed = onehot_edges.encode_input_rgb_packed(
+                    ids_p, edge_p, rgb_p, self.opt.label_nc, dtype=dt
+                )
+                cond = onehot_edges.encode_input(
+                    batch["label"], inst, self.opt.label_nc, dtype=dt
+                )
+                return (nnops.PackedStemInput(g_packed), None), cond, batch.get("image")
+            # ONE fused build of the full (one-hot ⊕ edge ⊕ rgb extras)
+            # generator input — no full-res concats (each cost 5-8 ms/step
+            # at 512x256 bs32), one stem conv (splitting the stem into
+            # partial convs measured 33.6 vs 26.8 ms: the 3ch partial pays
+            # a full MXU pass). D's cond is a contiguous channel slice.
+            g_full = onehot_edges.encode_input_rgb(
+                batch["label"], inst, rgb, self.opt.label_nc, dtype=dt
+            )
+            cond = g_full[..., : g_full.shape[-1] - rgb.shape[-1]]
+            return (g_full, None), cond, batch.get("image")
+        cond = onehot_edges.encode_input(
+            batch["label"], inst, self.opt.label_nc, dtype=dt
         )
-        return (cond, extra), cond, batch.get("image")
+        return (cond, None), cond, batch.get("image")
 
     # ---- init ----
 

@@ -348,11 +348,251 @@ def conv2d_phasepack(x, w, b=None, *, precision=None):
     return y
 
 
+# VGG block-1 packed path gate (see networks.Vgg19Features): perf tier
+# only — the parity tier (Precision.HIGHEST) keeps the literal lowering.
+def vgg_pack_enabled():
+    return (
+        _os.environ.get("HIMAN_VGG_PACK", "1") == "1"
+        and _PRECISION != lax.Precision.HIGHEST
+    )
+
+
+# packed generator stem region (encode_input builds the stem input already
+# s2d-by-2 packed; conv_in runs packed-io; down0 consumes packed) — perf
+# tier only, exact math (see conv2d_s2d_packed_io)
+def stem_pack_enabled():
+    return (
+        _os.environ.get("HIMAN_STEM_PACK", "1") == "1"
+        and _PRECISION != lax.Precision.HIGHEST
+    )
+
+
+class PackedStemInput:
+    """Marker wrapper: generator input pre-padded (reflect 3) and
+    s2d-by-2 packed, (B, (H+6)/2, (W+6)/2, 4*ci). flax treats it as a
+    pytree leaf container via registration below."""
+
+    def __init__(self, packed):
+        self.packed = packed
+
+
+jax.tree_util.register_pytree_node(
+    PackedStemInput,
+    lambda t: ((t.packed,), None),
+    lambda aux, ch: PackedStemInput(ch[0]),
+)
+
+
+def s2d_kernel_3x3_same(w):
+    """Packed-space kernel for a 3x3 stride-1 SAME conv on s2d-by-2 data.
+
+    Packed conv: y2[i,j,(p,q,co)] = sum_{a,b,(r,s,ci)}
+        x2[i+a-1, j+b-1, (r,s,ci)] * w[2a+r-p-1, 2b+s-q-1, ci, co]
+    (zero taps outside [0,3)), which equals the original SAME conv at
+    pixel (2i+p, 2j+q): zero padding in packed space == zero original
+    pixels. Returns (3, 3, 4ci, 4co), channels phase-major (r,s,ci) /
+    (p,q,co) matching ``_s2d``."""
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3)
+    z = jnp.zeros_like(w[0, 0])
+
+    def tap(dy, dx):
+        if 0 <= dy < 3 and 0 <= dx < 3:
+            return w[dy, dx]
+        return z
+
+    rows = []
+    for a in range(3):
+        row = []
+        for b in range(3):
+            m = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    jnp.stack(
+                                        [
+                                            tap(2 * a + r - p - 1, 2 * b + s - q - 1)
+                                            for q in range(2)
+                                        ],
+                                        0,
+                                    )
+                                    for p in range(2)
+                                ],
+                                0,
+                            )
+                            for s in range(2)
+                        ],
+                        0,
+                    )
+                    for r in range(2)
+                ],
+                0,
+            )  # (r, s, p, q, ci, co)
+            m = m.transpose(0, 1, 4, 2, 3, 5).reshape(4 * ci, 4 * co)
+            row.append(m)
+        rows.append(jnp.stack(row, 0))
+    return jnp.stack(rows, 0)
+
+
+def conv2d_s2d_same_packed(x2, w, b=None, *, precision=None):
+    """3x3 stride-1 SAME conv computed entirely in s2d-by-2 coordinates:
+    input AND output stay packed (N, H/2, W/2, 4C). ~4x padded FLOPs vs
+    the unpacked conv but full 128-lane tiles on both contraction and
+    output — a large net win for the sub-lane channel counts of VGG
+    block1 (64ch at full res ran at 37-70 TF/s; see Vgg19Features)."""
+    prec = precision or _PRECISION
+    k2 = s2d_kernel_3x3_same(w)
+    y2 = lax.conv_general_dilated(
+        x2, k2, window_strides=(1, 1), padding=((1, 1), (1, 1)),
+        dimension_numbers=_DIMNUMS, precision=prec,
+    )
+    if b is not None:
+        y2 = y2 + jnp.tile(b, 4)
+    return y2
+
+
+def _s2d_kernel_s1_valid(w):
+    """Packed kernel for stride-1 VALID conv on pre-padded s2d-by-2 data,
+    output STAYS packed: K[a,b,(r,s,ci),(p,q,co)] = w[2a+r-p, 2b+s-q]
+    (zero outside [0,k)). ka = (k+2)//2. Same construction as
+    ``conv2d_s2d`` stride-1 (nnops) without the trailing depth-to-space."""
+    kh, kw, ci, co = w.shape
+    ka = (kh + 2) // 2
+    z = jnp.zeros_like(w[0, 0])
+
+    def tap(dy, dx):
+        if 0 <= dy < kh and 0 <= dx < kw:
+            return w[dy, dx]
+        return z
+
+    rows = []
+    for a in range(ka):
+        row = []
+        for bb in range(ka):
+            m = jnp.stack(
+                [
+                    jnp.stack(
+                        [
+                            jnp.stack(
+                                [
+                                    jnp.stack(
+                                        [tap(2 * a + r - p, 2 * bb + s - q) for q in range(2)],
+                                        0,
+                                    )
+                                    for p in range(2)
+                                ],
+                                0,
+                            )
+                            for s in range(2)
+                        ],
+                        0,
+                    )
+                    for r in range(2)
+                ],
+                0,
+            )  # (r, s, p, q, ci, co)
+            m = m.transpose(0, 1, 4, 2, 3, 5).reshape(4 * ci, 4 * co)
+            row.append(m)
+        rows.append(jnp.stack(row, 0))
+    return jnp.stack(rows, 0)  # (ka, ka, 4ci, 4co)
+
+
+def conv2d_s2d_packed_io(x2, w, b=None, *, precision=None):
+    """Stride-1 VALID conv on PRE-PADDED s2d-by-2 packed input, packed
+    output (N, Hp/2-ka+1, Wp/2-ka+1, 4Co) covering the full VALID output
+    (requires even padded dims and even output dims). Used by the packed
+    generator stem: the 7x7 39->64 conv at 512x256 runs at 58-80 TF/s
+    unpacked (co=64 half-fills the lanes); packed it is 624->256 at
+    (16*4)/49 = 1.31x padded FLOPs with full tiles."""
+    prec = precision or _PRECISION
+    k2 = _s2d_kernel_s1_valid(w)
+    y2 = lax.conv_general_dilated(
+        x2, k2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=_DIMNUMS, precision=prec,
+    )
+    if b is not None:
+        y2 = y2 + jnp.tile(b, 4)
+    return y2
+
+
+def conv2d_s2d_stride2_packed_in(x2, w, b=None, *, precision=None):
+    """3x3 stride-2 pad-1 conv consuming s2d-by-2 PACKED input, producing
+    the natural UNPACKED output (stride 2 lands on the packed grid):
+    out[i,j] = sum_{dy,dx} x[2i+dy-1, 2j+dx-1] w[dy,dx] with
+    K[a,b,(r,s,ci),co] = w[2a+r-1, 2b+s-1], packed padding ((1,0),(1,0)).
+    The packed-in form is the exit from the packed stem region (down0)."""
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3)
+    prec = precision or _PRECISION
+    z = jnp.zeros_like(w[0, 0])
+
+    def tap(dy, dx):
+        if 0 <= dy < 3 and 0 <= dx < 3:
+            return w[dy, dx]
+        return z
+
+    rows = []
+    for a in range(2):
+        row = []
+        for bb in range(2):
+            m = jnp.stack(
+                [
+                    jnp.stack(
+                        [tap(2 * a + r - 1, 2 * bb + s - 1) for s in range(2)], 0
+                    )
+                    for r in range(2)
+                ],
+                0,
+            )  # (r, s, ci, co)
+            row.append(m.reshape(4 * ci, co))
+        rows.append(jnp.stack(row, 0))
+    k2 = jnp.stack(rows, 0)  # (2, 2, 4ci, co)
+    y = lax.conv_general_dilated(
+        x2, k2, window_strides=(1, 1), padding=((1, 0), (1, 0)),
+        dimension_numbers=_DIMNUMS, precision=prec,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def instance_norm_packed(x2, c, *, eps=1e-5):
+    """InstanceNorm(affine=False) on s2d-by-2 packed activations: the
+    per-(N, original-channel) spatial statistics fold the 4 phase groups
+    together; the normalize stays in the packed view. Exact same math as
+    unpacking -> instance_norm (modulo fp reduction order)."""
+    n, h2, w2, c4 = x2.shape
+    xf = x2.astype(jnp.float32)
+    xv = xf.reshape(n, h2, w2, 4, c)
+    s = jnp.sum(xv, axis=(1, 2, 3))
+    ss = jnp.sum(xv * xv, axis=(1, 2, 3))
+    cnt = float(h2 * w2 * 4)
+    mean = s / cnt
+    var = jnp.maximum(ss / cnt - mean * mean, 0.0)
+    mean4 = jnp.tile(mean, (1, 4))[:, None, None, :]
+    rstd4 = jnp.tile(lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
+    return ((xf - mean4) * rstd4).astype(x2.dtype)
+
+
+def phase_max_pool_packed(x2, c):
+    """MaxPool2d(2, 2) on s2d-by-2 packed data == max over the 4 phase
+    groups — returns UNPACKED (N, H/2, W/2, C) at pool-output resolution
+    with zero data movement beyond the elementwise max. Ties share
+    gradient (vs torch first-max routing): fp-rare, perf path only."""
+    n, h2, w2, _ = x2.shape
+    return x2.reshape(n, h2, w2, 4, c).max(axis=3)
+
+
 def _s2d(x):
     """Space-to-depth by 2, NHWC, phase-major (row_phase, col_phase, C)."""
     n, h, w, c = x.shape
     x = x.reshape(n, h // 2, 2, w // 2, 2, c)
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+s2d2 = _s2d  # public alias (packed VGG block 1, tests)
 
 
 def conv2d_s2d(x, w, b=None, *, stride=1, precision=None):

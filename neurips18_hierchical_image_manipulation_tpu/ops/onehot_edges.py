@@ -66,3 +66,49 @@ def encode_input(label_ids, inst=None, label_nc=35, dtype=jnp.float32):
     c_idx = jnp.arange(label_nc + 1, dtype=jnp.int32)
     cond = jnp.where(c_idx == label_nc, edge, ids == c_idx)
     return cond.astype(dtype)
+
+
+def encode_input_rgb_packed(label_pad, edge_pad, rgb_pad, label_nc, dtype=jnp.float32):
+    """Build the generator stem input DIRECTLY in s2d-by-2 packed layout
+    from PRE-PADDED (reflect) components: label_pad (B,Hp,Wp) int ids,
+    edge_pad (B,Hp,Wp,1) or None, rgb_pad (B,Hp,Wp,k) float extras.
+    Returns (B,Hp/2,Wp/2,4*(label_nc[+1]+k)) matching nnops.s2d2 of the
+    unpacked concat — one fused write, no unpacked intermediate."""
+    from . import nnops
+
+    ids4 = nnops.s2d2(label_pad.astype(jnp.int32)[..., None])  # (.,.,.,4)
+    k = rgb_pad.shape[-1]
+    ne = label_nc + (0 if edge_pad is None else 1)
+    c_idx = jnp.arange(ne + k, dtype=jnp.int32)
+    out = ids4[..., None] == c_idx  # (.,.,.,4,ne+k); ids never match >= label_nc
+    if edge_pad is not None:
+        edge4 = nnops.s2d2(edge_pad.astype(jnp.bool_))
+        out = jnp.where(c_idx == label_nc, edge4[..., None], out)
+    out = out.astype(dtype)
+    rgb4 = nnops.s2d2(rgb_pad).reshape(rgb_pad.shape[0], *ids4.shape[1:3], 4, k)
+    for j in range(k):
+        out = jnp.where(c_idx == ne + j, rgb4[..., j : j + 1].astype(dtype), out)
+    n, h2, w2 = ids4.shape[:3]
+    return out.reshape(n, h2, w2, 4 * (ne + k))
+
+
+def encode_input_rgb(label_ids, inst, rgb, label_nc=35, dtype=jnp.float32):
+    """(label one-hot ⊕ edge ⊕ rgb) built in ONE fused elementwise select
+    over the output channel index — no full-res concats (each costs
+    5-8 ms/step at 512x256 bs32 re-laying the lane tiles). ``rgb`` is any
+    extra float conditioning with a small channel count (the masked image,
+    optionally + encoder features); ``inst`` may be None (--no_instance).
+    Channel layout matches concat([one_hot, edges?, rgb], -1) exactly."""
+    ids = label_ids.astype(jnp.int32)[..., None]
+    ne = label_nc + (0 if inst is None else 1)
+    c_idx = jnp.arange(ne + rgb.shape[-1], dtype=jnp.int32)
+    oh = ids == c_idx  # channels >= label_nc never match in-range ids
+    if inst is not None:
+        edge = instance_edges(inst, jnp.bool_)
+        oh = jnp.where(c_idx == label_nc, edge, oh)
+    # rgb channels, selected per output channel: nested wheres stay one
+    # fused write (3-6 channels)
+    out = oh.astype(dtype)
+    for k in range(rgb.shape[-1]):
+        out = jnp.where(c_idx == ne + k, rgb[..., k : k + 1].astype(dtype), out)
+    return out
