@@ -504,14 +504,25 @@ class Vgg19Features(nn.Module):
         h = x
         for b, widths in enumerate(self.cfg):
             if b == 0 and pack1:
-                h2 = nnops.s2d2(x)
-                h2 = nnops.relu(
-                    Conv(64, 3, padding=1, name="conv1_1", packed_s2d2=True)(h2)
-                )
-                taps.append(h2)
-                h2 = nnops.relu(
-                    Conv(64, 3, padding=1, name="conv1_2", packed_s2d2=True)(h2)
-                )
+                # grid-shifted ka=2 chaining (1.78x padded FLOPs, vs 4x for
+                # the naive packed-SAME form): conv1_1 runs VALID on the
+                # pad-2 packed input and lands on "grid B" (blocks cover
+                # originals (2i-1, 2i), i.e. the zero-padded-by-1 packed
+                # layout conv1_2's SAME semantics need) — after masking the
+                # out-of-image half-phase border to literal zeros. conv1_2
+                # then runs VALID grid-B -> grid-A. The relu1_1 loss tap is
+                # the masked grid-B tensor scaled by numelB/numelA, which
+                # makes mean-|a-b| EXACT (border diffs are 0 on both sides,
+                # only the mean's denominator needs correcting).
+                xp = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)))
+                h2 = nnops.s2d2(xp)
+                h2 = Conv(64, 3, padding=1, name="conv1_1", packed_s2d_io=True)(h2)
+                h2 = nnops.relu(nnops.mask_packed_border(h2, 64))
+                hb2, wb2 = h2.shape[1], h2.shape[2]
+                scale = (hb2 * wb2) / float((hb2 - 1) * (wb2 - 1))
+                taps.append(h2 * jnp.asarray(scale, h2.dtype))
+                h2 = Conv(64, 3, padding=1, name="conv1_2", packed_s2d_io=True)(h2)
+                h2 = nnops.relu(h2)
                 # pool1 comes out of the phase max; block 2 must not pool again
                 h = nnops.phase_max_pool_packed(h2, 64)
                 continue

@@ -573,7 +573,25 @@ def instance_norm_packed(x2, c, *, eps=1e-5):
     var = jnp.maximum(ss / cnt - mean * mean, 0.0)
     mean4 = jnp.tile(mean, (1, 4))[:, None, None, :]
     rstd4 = jnp.tile(lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
-    return ((xf - mean4) * rstd4).astype(x2.dtype)
+    # barriered re-read: see instance_norm — keeps the fp32 copy virtual
+    xn = lax.optimization_barrier(x2).astype(jnp.float32)
+    return ((xn - mean4) * rstd4).astype(x2.dtype)
+
+
+def mask_packed_border(x2, c, drop_first_phase_row=True, drop_last_phase_row=True):
+    """Zero the half-phase border of a packed tensor whose grid covers one
+    original pixel beyond the image on each side ("grid B": block i holds
+    originals (2i-1, 2i)). Zeroes (row 0, phase 0), (last row, phase 1)
+    and same on W — producing exactly the zero-padded-by-1 packed form a
+    SAME conv downstream expects."""
+    n, h2, w2, c4 = x2.shape
+    xv = x2.reshape(n, h2, w2, 2, 2, c)
+    rm = jnp.ones((h2, 2), x2.dtype)
+    rm = rm.at[0, 0].set(0).at[h2 - 1, 1].set(0)
+    cm = jnp.ones((w2, 2), x2.dtype)
+    cm = cm.at[0, 0].set(0).at[w2 - 1, 1].set(0)
+    xv = xv * rm[None, :, None, :, None, None] * cm[None, None, :, None, :, None]
+    return xv.reshape(n, h2, w2, c4)
 
 
 def phase_max_pool_packed(x2, c):
@@ -788,7 +806,13 @@ def instance_norm(x, *, eps=1e-5):
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         msq = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
         var = jnp.maximum(msq - mean * mean, 0.0)
-    return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+    # re-read x for the normalize through an optimization barrier: without
+    # it XLA CSEs this cast with the stats pass's and MATERIALIZES the
+    # fp32 copy of the full-res tensor to HBM (measured 7.2 ms/step of
+    # convert_element_type at 512x256 bs32); barriered, each cast fuses
+    # into its consumer and the fp32 tensor never exists in memory.
+    xn = lax.optimization_barrier(x).astype(jnp.float32)
+    return ((xn - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
 
 
 def batch_norm_inference(x, mean, var, gamma, beta, *, eps=1e-5):
