@@ -50,6 +50,15 @@ class BaseOptions:
     no_flip: bool = False
     nThreads: int = 2
     max_dataset_size: int = 2**31 - 1
+    # decode-once .npy sidecar cache for the aligned reader (new vs the
+    # reference: PNG inflate dominates weak TPU-host CPUs; see
+    # data/cityscapes._open_cached and tools/bench_loop.py)
+    decode_cache: bool = False
+    # ship uint8 images / uint8 labels / uint16 inst ids to the device and
+    # normalize there ((x/127.5)-1 fused into the step): 3.3x less
+    # host->device traffic per batch (84 -> 25 MB at 512x256 bs32). New
+    # capability vs the reference (which transfers fp32)
+    uint8_transfer: bool = False
 
     # display
     display_winsize: int = 512

@@ -18,6 +18,34 @@ from .image_folder import make_dataset
 from .transforms import apply_transform, get_params, normalize_rgb
 
 
+def _open_cached(path: str, cache_root: str):
+    """Decode-once image open: PNG inflate dominates host time on weak
+    TPU-host CPUs (measured 83% host overhead at 512x256 bs32 on a 1-core
+    host — tools/bench_loop.py), so the first epoch persists the decoded
+    array as an .npy sidecar and later epochs memcpy it back. mtime-keyed;
+    falls back to plain decode on any error. New capability vs the
+    reference (which re-inflates PNGs every epoch)."""
+    try:
+        st = os.stat(path)
+        key = f"{abs(hash(os.path.abspath(path))):x}_{int(st.st_mtime)}_{st.st_size}"
+        cpath = os.path.join(cache_root, key + ".npy")
+        if os.path.exists(cpath):
+            arr = np.load(cpath)
+            mode = "I" if arr.dtype == np.int32 else None
+            return Image.fromarray(arr, mode)
+        img = Image.open(path)
+        img.load()
+        arr = np.asarray(img)
+        os.makedirs(cache_root, exist_ok=True)
+        tmp = cpath + f".{os.getpid()}.tmp.npy"
+        with open(tmp, "wb") as f:
+            np.save(f, arr)
+        os.replace(tmp, cpath)
+        return img
+    except OSError:
+        return Image.open(path)
+
+
 class AlignedDataset:
     def __init__(self, opt):
         self.opt = opt
@@ -38,6 +66,16 @@ class AlignedDataset:
             self.image_paths = make_dataset(img_dir, opt.max_dataset_size)
         self.seed = getattr(opt, "seed", 0)
         self._epoch = 0
+        self._cache = (
+            os.path.join(self.root, ".decoded_cache")
+            if getattr(opt, "decode_cache", False)
+            else None
+        )
+
+    def _open(self, path):
+        if self._cache is not None:
+            return _open_cached(path, self._cache)
+        return Image.open(path)
 
     def set_epoch(self, epoch: int) -> None:
         """Augmentation draws are a pure function of (seed, epoch, index) —
@@ -53,11 +91,12 @@ class AlignedDataset:
         return len(self.label_paths)
 
     def __getitem__(self, index) -> Dict[str, np.ndarray]:
-        label_img = Image.open(self.label_paths[index])
+        label_img = self._open(self.label_paths[index])
         params = get_params(self.opt, label_img.size, self._item_rng(index))
 
+        u8 = getattr(self.opt, "uint8_transfer", False)
         label = apply_transform(label_img, self.opt, params, Image.NEAREST)
-        label_ids = np.asarray(label).astype(np.int32)
+        label_ids = np.asarray(label).astype(np.uint8 if u8 else np.int32)
         if label_ids.ndim == 3:
             label_ids = label_ids[..., 0]
 
@@ -65,9 +104,9 @@ class AlignedDataset:
 
         if self.inst_paths is not None:
             inst = apply_transform(
-                Image.open(self.inst_paths[index]), self.opt, params, Image.NEAREST
+                self._open(self.inst_paths[index]), self.opt, params, Image.NEAREST
             )
-            inst_ids = np.asarray(inst).astype(np.int32)
+            inst_ids = np.asarray(inst).astype(np.uint16 if u8 else np.int32)
             if inst_ids.ndim == 3:
                 inst_ids = inst_ids[..., 0]
             sample["inst"] = inst_ids
@@ -76,10 +115,11 @@ class AlignedDataset:
 
         if self.image_paths is not None:
             rgb = apply_transform(
-                Image.open(self.image_paths[index]).convert("RGB"),
+                self._open(self.image_paths[index]).convert("RGB"),
                 self.opt,
                 params,
                 Image.BICUBIC,
             )
-            sample["image"] = normalize_rgb(np.asarray(rgb))
+            arr = np.asarray(rgb)
+            sample["image"] = arr if u8 else normalize_rgb(arr)
         return sample

@@ -211,3 +211,23 @@ def test_loader_epoch_varies_augmentation(dataroot, tmp_path):
     e0_again = [b["label"].copy() for b in loader2]
     for a, b in zip(e0, e0_again):
         np.testing.assert_array_equal(a, b)
+
+
+def test_decode_cache_matches_plain(dataroot, tmp_path):
+    """--decode_cache (.npy sidecar decode-once tier): identical samples,
+    cache files created on first pass and reused after."""
+    opt_plain = m2i_opt(dataroot, str(tmp_path))
+    opt_cache = m2i_opt(dataroot, str(tmp_path), decode_cache=True)
+    ds_p = AlignedDataset(opt_plain)
+    ds_c = AlignedDataset(opt_cache)
+    for i in range(len(ds_p)):
+        a, b = ds_p[i], ds_c[i]
+        np.testing.assert_array_equal(a["label"], b["label"])
+        np.testing.assert_array_equal(a["inst"], b["inst"])
+        np.testing.assert_array_equal(a["image"], b["image"])
+    cache_dir = os.path.join(dataroot, ".decoded_cache")
+    assert os.path.isdir(cache_dir) and len(os.listdir(cache_dir)) > 0
+    # second pass hits the cache (same values)
+    for i in range(len(ds_c)):
+        b2 = ds_c[i]
+        np.testing.assert_array_equal(ds_p[i]["image"], b2["image"])

