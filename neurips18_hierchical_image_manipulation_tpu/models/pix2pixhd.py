@@ -109,13 +109,22 @@ class Pix2PixHDModel:
         batch = dict(batch)
         img = batch.get("image")
         if img is not None and img.dtype == jnp.uint8:
-            # infer the compute dtype from any float leaf (the bf16 policy
-            # casts floats before this runs; uint8 passes through casts)
-            dt = jnp.float32
+            # normalize in the dtype the step actually computes in: any
+            # float batch leaf (the bf16 policy casts those first), else
+            # the params' float dtype, else f32 (fresh init)
+            dt = None
             for v in batch.values():
                 if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating):
                     dt = v.dtype
                     break
+            if dt is None and params is not None:
+                for leaf in jax.tree.leaves(params):
+                    if hasattr(leaf, "dtype") and jnp.issubdtype(
+                        leaf.dtype, jnp.floating
+                    ):
+                        dt = leaf.dtype
+                        break
+            dt = dt or jnp.float32
             batch["image"] = img.astype(dt) / jnp.asarray(127.5, dt) - 1.0
         # follow the image dtype so the bf16 policy reaches the one-hot
         # conditioning tensors built on-device here

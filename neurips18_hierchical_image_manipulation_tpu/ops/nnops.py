@@ -822,7 +822,20 @@ def batch_norm_inference(x, mean, var, gamma, beta, *, eps=1e-5):
 
 
 def reflect_pad(x, pad):
-    """torch.nn.ReflectionPad2d(pad) on NHWC."""
+    """torch.nn.ReflectionPad2d(pad) on NHWC. On the perf tier the VJP is
+    a fused Pallas fold (ops/pallas/reflect_pad.py) — identical math, one
+    read+write instead of XLA's slice/rev/add chain."""
+    if _PRECISION != lax.Precision.HIGHEST and x.ndim == 4:
+        from .pallas import config as _pc
+
+        if _pc.pad_bwd_enabled():
+            from .pallas.reflect_pad import (
+                reflect_pad_bwd_eligible,
+                reflect_pad_fused_bwd,
+            )
+
+            if reflect_pad_bwd_eligible(x.shape, pad, x.dtype):
+                return reflect_pad_fused_bwd(x, pad)
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 

@@ -23,6 +23,15 @@ _ENABLED = True
 # step that could actually beat XLA here).
 _IN_KERNEL = False
 _LOSS_KERNELS = False
+# fused reflect-pad backward (ops/pallas/reflect_pad.py): replaces XLA's
+# slice/rev/add-chain VJP with one read+write per sample. Measured ON THE
+# TPU at the resblock shape ([32,32,16,1024] pad 1, bf16): pallas 1.03 ms
+# (scratch fold) / 1.15 ms (direct fold) vs XLA's derived VJP 0.77 ms —
+# Mosaic's static-index read-modify-writes on the sublane (W) axis cost
+# more than the fold saves, and in-graph XLA additionally fuses the
+# slice-adds into neighboring gradient work. OFF; kept golden-tested as a
+# tuning surface (a transposed W-major fold is the next idea).
+_PAD_BWD_KERNEL = False
 
 
 def set_enabled(flag: bool) -> None:
@@ -33,6 +42,21 @@ def set_enabled(flag: bool) -> None:
 def set_in_kernel(flag: bool) -> None:
     global _IN_KERNEL
     _IN_KERNEL = bool(flag)
+
+
+def set_pad_bwd(flag: bool) -> None:
+    global _PAD_BWD_KERNEL
+    _PAD_BWD_KERNEL = bool(flag)
+
+
+def pad_bwd_enabled() -> bool:
+    if not _ENABLED or not _PAD_BWD_KERNEL:
+        return False
+    from . import reflect_pad
+
+    if reflect_pad.INTERPRET:
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def set_loss_kernels(flag: bool) -> None:

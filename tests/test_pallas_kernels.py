@@ -169,3 +169,37 @@ def test_fused_conv_in_fallback_on_bad_shape(rng):
     got = pconv.conv3x3_in_act(x, w3, b, relu=True)
     want = pconv._reference(x, w3, b, None, True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_reflect_pad_fused_bwd_matches_jnp_vjp(rng):
+    from neurips18_hierchical_image_manipulation_tpu.ops.pallas import (
+        reflect_pad as rp,
+    )
+
+    rp.INTERPRET = True
+    try:
+        for (n, h, w, c, p) in [(2, 16, 8, 128, 1), (1, 12, 20, 8, 3), (3, 9, 11, 16, 2)]:
+            x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+            g = jnp.asarray(rng.randn(n, h + 2 * p, w + 2 * p, c).astype(np.float32))
+            fwd_ref = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+            fwd_got = rp.reflect_pad_fused_bwd(x, p)
+            np.testing.assert_array_equal(np.asarray(fwd_ref), np.asarray(fwd_got))
+            ref = jax.vjp(
+                lambda x: jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect"), x
+            )[1](g)[0]
+            got = jax.vjp(lambda x: rp.reflect_pad_fused_bwd(x, p), x)[1](g)[0]
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-6)
+    finally:
+        rp.INTERPRET = False
+
+
+def test_reflect_pad_bwd_eligibility():
+    from neurips18_hierchical_image_manipulation_tpu.ops.pallas import (
+        reflect_pad as rp,
+    )
+
+    # resblock pad-1 sites fit; the full-res 7x7 head pad falls back
+    assert rp.reflect_pad_bwd_eligible((32, 32, 16, 1024), 1, np.dtype(np.dtype("bfloat16")))
+    assert not rp.reflect_pad_bwd_eligible((32, 256, 512, 64), 3, np.dtype(np.dtype("bfloat16")))
+    # degenerate: mirrors overlapping (tiny spatial) -> lax
+    assert not rp.reflect_pad_bwd_eligible((1, 3, 3, 8), 3, np.dtype(np.float32))
