@@ -301,6 +301,7 @@ def conv_transpose2d(
 # better lane economics; no input transpose. Exact same arithmetic per
 # output element (modulo float summation order).
 _HEAD_PACK = _os.environ.get("HIMAN_HEAD_PACK", "1") == "1"
+_HEAD_PACK_BWD = _os.environ.get("HIMAN_HEAD_PACK_BWD", "0") == "1"
 
 
 def _phasepack_eligible(x, w, s, pad, prec):
@@ -316,19 +317,55 @@ def _phasepack_eligible(x, w, s, pad, prec):
 
 
 def conv2d_phasepack(x, w, b=None, *, precision=None):
-    """7x7 VALID stride-1 conv via a stride-4 phase-embedded kernel.
+    """7x7 VALID stride-1 conv via a stride-4 phase-embedded kernel, with
+    a custom VJP that phase-packs the input gradient too.
 
     x: pre-padded (N, Ho+6, Wo+6, Ci) with Ho,Wo % 4 == 0; w: (7,7,Ci,Co).
     out[4i+p, 4j+q, c] = sum_d xpad[4i+p+d] W[d] == stride-4 conv with
     K4[a,b,:,(p,q,c)] = W[a-p, b-q, :, c] (zero outside 0<=a-p<7), kernel
-    extent 10, followed by depth-to-space. Grads flow by plain AD: the
-    kernel embed is pad/concat (transposes to slice/add on dW) and the
-    input grad lowers to a stride-4-dilated conv with co=Ci, both of
-    which keep full output tiles."""
+    extent 10, followed by depth-to-space.
+
+    Backward: by default plain AD through the packed construction (the
+    input grad lowers to a stride-4-dilated conv, dW through the embed's
+    transpose). A custom VJP that phase-packs the input gradient as a
+    second packed conv exists (HIMAN_HEAD_PACK_BWD=1) but measured
+    SLOWER end-to-end (91.2 vs 92.5 img/s at the bench config): the
+    packed dgrad's K=300 starvation + extra pads cost more than XLA's
+    dilated lowering in-graph."""
+    if _HEAD_PACK_BWD:
+        return _conv2d_phasepack_vjp(x, w, b, precision or _PRECISION)
+    return _conv2d_phasepack_impl(x, w, b, precision or _PRECISION)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _conv2d_phasepack_vjp(x, w, b, prec):
+    return _conv2d_phasepack_impl(x, w, b, prec)
+
+
+def _phasepack_vjp_fwd(x, w, b, prec):
+    return _conv2d_phasepack_impl(x, w, b, prec), (x, w, b is None)
+
+
+def _phasepack_vjp_bwd(prec, res, g):
+    x, w, no_bias = res
+    n, hp, wp, ci = x.shape
+    db = None if no_bias else jnp.sum(g, axis=(0, 1, 2))
+    dw = jax.vjp(lambda w_: _conv2d_phasepack_impl(x, w_, None, prec), w)[1](g)[0]
+    # dx[m] = sum_d g[m-6+d'] flipW[d'] == VALID conv of pad(g, 6) with the
+    # spatially-flipped, ci<->co-swapped kernel — phase-packed again. Extra
+    # trailing zero padding rounds the output up to %4 (sliced off).
+    eh = (-hp) % 4
+    ew = (-wp) % 4
+    wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2)  # (7,7,Co,Ci)
+    gp = jnp.pad(g, ((0, 0), (6, 6 + eh), (6, 6 + ew), (0, 0)))
+    dx = _conv2d_phasepack_impl(gp, wt, None, prec)[:, :hp, :wp]
+    return dx, dw, db
+
+
+def _conv2d_phasepack_impl(x, w, b, prec):
     kh, kw, ci, co = w.shape
     n, hp, wp, _ = x.shape
     ho, wo = hp - 6, wp - 6
-    prec = precision or _PRECISION
     k4 = jnp.concatenate(
         [
             jnp.pad(w, ((p, 3 - p), (q, 3 - q), (0, 0), (0, 0)))
@@ -382,6 +419,9 @@ jax.tree_util.register_pytree_node(
     lambda aux, ch: PackedStemInput(ch[0]),
 )
 
+
+
+_conv2d_phasepack_vjp.defvjp(_phasepack_vjp_fwd, _phasepack_vjp_bwd)
 
 def s2d_kernel_3x3_same(w):
     """Packed-space kernel for a 3x3 stride-1 SAME conv on s2d-by-2 data.
