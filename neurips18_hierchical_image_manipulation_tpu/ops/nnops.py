@@ -143,6 +143,15 @@ _LANE_PAD = _os.environ.get("HIMAN_LANE_PAD", "0") == "1"
 # normalize was folded too) — the extra view splits the stats fusion and
 # loses more than full-lane reduction gains. Opt-in.
 _IN_LANE_FOLD = _os.environ.get("HIMAN_IN_LANE_FOLD", "0") == "1"
+# ConvT(k3,s2,p1,op1) custom VJP: phase-correlation weight gradient +
+# stride-2 conv input gradient, replacing XLA's derived adjoint backward
+# whose wgrad spatially REVERSES the full-res activations (5.1 ms/step of
+# standalone `reverse` at the bench config). Measured END-TO-END: 90.3 vs
+# 92.5 img/s — the nine einsum correlations + the g phase split cost more
+# than the reverses they remove (XLA fuses the reverse into neighboring
+# gradient work). Opt-in via HIMAN_CONVT_PHASE_BWD=1; goldens in
+# tests ensure it stays correct as a tuning surface.
+_CONVT_PHASE_BWD = _os.environ.get("HIMAN_CONVT_PHASE_BWD", "0") == "1"
 
 
 def set_conv_transpose_impl(impl: str):
@@ -232,6 +241,85 @@ def conv_transpose2d_d2s(x, w, b=None, *, precision=None):
     return y
 
 
+def _convt_k3s2_fwd_impl(x, w, b, prec):
+    w_flipped = w[::-1, ::-1, :, :]
+    y = lax.conv_general_dilated(
+        x, w_flipped, window_strides=(1, 1), padding=[(1, 2), (1, 2)],
+        lhs_dilation=(2, 2), dimension_numbers=_DIMNUMS, precision=prec,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _convt_k3s2_vjp(x, w, b, prec):
+    """ConvT(k=3,s=2,p=1,op=1) with a hand-derived backward:
+
+    dx = conv2d(g, w.transpose(ci<->co), stride=2, padding=1) — exact (the
+    adjoint of the adjoint is the plain strided conv; no kernel flip, the
+    index algebra lands on w[1+dy, 1+dx]).
+
+    dW[a,b] = sum_n,i,j x[i + (a>1? wait-no)...] — per output phase
+    (di,dj) of g, each kernel tap couples ONE shifted copy of x:
+      dW[1,1] <- (g_ph00, shift 0,0)        dW[1,2] <- (g_ph01, 0,0)
+      dW[1,0] <- (g_ph01, 0,1)              dW[2,1] <- (g_ph10, 0,0)
+      dW[0,1] <- (g_ph10, 1,0)              dW[2,2] <- (g_ph11, 0,0)
+      dW[2,0] <- (g_ph11, 0,1)              dW[0,2] <- (g_ph11, 1,0)
+      dW[0,0] <- (g_ph11, 1,1)
+    computed as nine [ci,co] einsum contractions over N*H*W — no
+    activation reversal, no input dilation (XLA's derived wgrad reverses
+    the full-res activations: 5.1 ms/step of standalone `reverse`)."""
+    return _convt_k3s2_fwd_impl(x, w, b, prec)
+
+
+def _convt_k3s2_vjp_fwd(x, w, b, prec):
+    return _convt_k3s2_fwd_impl(x, w, b, prec), (x, w, b is None)
+
+
+def _convt_k3s2_vjp_bwd(prec, res, g):
+    x, w, no_bias = res
+    n, h, wd, ci = x.shape
+    co = w.shape[-1]
+    db = None if no_bias else jnp.sum(g, axis=(0, 1, 2))
+    # input grad: plain stride-2 conv of g with the ci<->co-swapped kernel
+    dx = lax.conv_general_dilated(
+        g, w.transpose(0, 1, 3, 2), window_strides=(2, 2),
+        padding=[(1, 1), (1, 1)], dimension_numbers=_DIMNUMS, precision=prec,
+    )
+    # weight grad: phase-split g once (s2d2: phase-major (di,dj,co)), then
+    # nine shifted correlations x . g_phase
+    g4 = s2d2(g)  # (n, h, wd, 4co)
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+
+    def corr(sh_i, sh_j, ph):
+        xs = lax.dynamic_slice(xp, (0, sh_i, sh_j, 0), (n, h, wd, ci))
+        gp = lax.dynamic_slice(g4, (0, 0, 0, ph * co), (n, h, wd, co))
+        return jnp.einsum(
+            "nhwc,nhwd->cd", xs, gp,
+            precision=prec, preferred_element_type=jnp.float32,
+        )
+
+    # phase order in s2d2 channels: ph = di*2 + dj
+    taps = {
+        (1, 1): (0, 0, 0), (1, 2): (0, 0, 1), (1, 0): (0, 1, 1),
+        (2, 1): (0, 0, 2), (0, 1): (1, 0, 2), (2, 2): (0, 0, 3),
+        (2, 0): (0, 1, 3), (0, 2): (1, 0, 3), (0, 0): (1, 1, 3),
+    }
+    rows = []
+    for a in range(3):
+        row = []
+        for bb in range(3):
+            si, sj, ph = taps[(a, bb)]
+            row.append(corr(si, sj, ph).astype(w.dtype))
+        rows.append(jnp.stack(row, 0))
+    dw = jnp.stack(rows, 0)
+    return dx, dw, db
+
+
+_convt_k3s2_vjp.defvjp(_convt_k3s2_vjp_fwd, _convt_k3s2_vjp_bwd)
+
+
 def conv_transpose2d(
     x, w, b=None, *, stride=2, padding=1, output_padding=1, precision=None
 ):
@@ -265,6 +353,8 @@ def conv_transpose2d(
             return conv_transpose2d_subpixel(x, w, b, precision=prec)
         if impl == "d2s":
             return conv_transpose2d_d2s(x, w, b, precision=prec)
+        if _CONVT_PHASE_BWD and prec != lax.Precision.HIGHEST:
+            return _convt_k3s2_vjp(x, w, b, prec)
     op = (
         (output_padding, output_padding)
         if isinstance(output_padding, int)

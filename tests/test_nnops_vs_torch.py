@@ -192,3 +192,34 @@ def test_conv_transpose_impl_switch(rng):
     finally:
         nnops.set_conv_transpose_impl("auto")
     np.testing.assert_allclose(np.asarray(s), np.asarray(a), atol=2e-5, rtol=1e-5)
+
+
+def test_convt_phase_bwd_matches_adjoint_grads():
+    """HIMAN_CONVT_PHASE_BWD custom VJP (opt-in; measured slower end-to-end
+    but kept as a tuning surface) must match the adjoint AD exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+
+    nnops.set_default_precision("default")
+    try:
+        rng = np.random.RandomState(7)
+        x = jnp.asarray(rng.randn(2, 8, 10, 16).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 16, 12).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(12).astype(np.float32))
+        g = jnp.asarray(rng.randn(2, 16, 20, 12).astype(np.float32))
+
+        def f(x, w, b):
+            return jnp.sum(nnops.conv_transpose2d(x, w, b) * g)
+
+        old = nnops._CONVT_PHASE_BWD
+        nnops._CONVT_PHASE_BWD = False
+        gr = jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+        nnops._CONVT_PHASE_BWD = True
+        gc = jax.grad(f, argnums=(0, 1, 2))(x, w, b)
+        nnops._CONVT_PHASE_BWD = old
+        for a, c in zip(gr, gc):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-5, rtol=1e-5)
+    finally:
+        nnops.set_default_precision("highest")
