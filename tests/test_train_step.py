@@ -183,3 +183,25 @@ def test_use_dropout_path(rng):
                 name="t", checkpoints_dir="/tmp/himan_test_ckpt", use_dropout=True
             )
         )
+
+
+def test_mask2image_uint8_transfer_batch(rng):
+    """--uint8_transfer contract: uint8 image / uint8 label / uint16 inst
+    batches train identically to pre-normalized float batches (the
+    (x/127.5)-1 normalize moves on-device into the step)."""
+    model, state, batch = make_m2i(rng)
+    step = train_steps.make_train_step(model, donate=False)
+    _, m_f32, fake_f32 = step(state, batch)
+
+    b8 = dict(batch)
+    img01 = (np.asarray(batch["image"], np.float32) + 1.0) * 127.5
+    b8["image"] = jnp.asarray(np.round(img01).clip(0, 255).astype(np.uint8))
+    b8["label"] = jnp.asarray(np.asarray(batch["label"]).astype(np.uint8))
+    b8["inst"] = jnp.asarray(np.asarray(batch["inst"]).astype(np.uint16))
+    _, m_u8, fake_u8 = step(state, b8)
+    for k in m_f32:
+        a, b = float(m_f32[k]), float(m_u8[k])
+        assert np.isfinite(b), k
+        # uint8 quantization of the image perturbs losses slightly
+        assert abs(a - b) < 0.15 * (abs(a) + 1.0), (k, a, b)
+    assert fake_u8.shape == fake_f32.shape
