@@ -8,6 +8,7 @@ Returns numpy NHWC batches ready for device_put; all tensor math
 
 from __future__ import annotations
 
+import hashlib
 import os
 from typing import Dict
 
@@ -27,19 +28,33 @@ def _open_cached(path: str, cache_root: str):
     reference (which re-inflates PNGs every epoch)."""
     try:
         st = os.stat(path)
-        key = f"{abs(hash(os.path.abspath(path))):x}_{int(st.st_mtime)}_{st.st_size}"
-        cpath = os.path.join(cache_root, key + ".npy")
+        # Stable digest (NOT Python hash(), which is salt-randomized per
+        # process and would defeat the cache across runs).
+        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
+        key = f"{digest}_{int(st.st_mtime)}_{st.st_size}"
+        cpath = os.path.join(cache_root, key + ".npz")
         if os.path.exists(cpath):
-            arr = np.load(cpath)
-            mode = "I" if arr.dtype == np.int32 else None
-            return Image.fromarray(arr, mode)
+            with np.load(cpath, allow_pickle=False) as z:
+                arr = z["arr"]
+                mode = str(z["mode"])
+                if mode == "P" and "palette" in z:
+                    img = Image.fromarray(arr, "P")
+                    img.putpalette(z["palette"].tolist())
+                else:
+                    img = Image.fromarray(arr, "I" if mode == "I" else None)
+                return img
         img = Image.open(path)
         img.load()
         arr = np.asarray(img)
         os.makedirs(cache_root, exist_ok=True)
-        tmp = cpath + f".{os.getpid()}.tmp.npy"
+        tmp = cpath + f".{os.getpid()}.tmp.npz"
+        extra = {}
+        if img.mode == "P":
+            # Preserve the palette so a later .convert('RGB') on the
+            # reconstructed image yields true colors, not index grayscale.
+            extra["palette"] = np.asarray(img.getpalette(), dtype=np.uint8)
         with open(tmp, "wb") as f:
-            np.save(f, arr)
+            np.savez(f, arr=arr, mode=np.str_(img.mode), **extra)
         os.replace(tmp, cpath)
         return img
     except OSError:

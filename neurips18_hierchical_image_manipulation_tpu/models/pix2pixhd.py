@@ -143,6 +143,8 @@ class Pix2PixHDModel:
             if (
                 nnops.stem_pack_enabled()
                 and isinstance(self.netG, networks.GlobalGenerator)
+                and self.netG.norm == "instance"
+                and self.netG.n_downsampling >= 1
                 and h % 2 == 0
                 and w % 2 == 0
             ):
