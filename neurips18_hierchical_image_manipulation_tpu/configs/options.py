@@ -54,11 +54,17 @@ class BaseOptions:
     # reference: PNG inflate dominates weak TPU-host CPUs; see
     # data/cityscapes._open_cached and tools/bench_loop.py)
     decode_cache: bool = False
+    # in-RAM decoded-array cache budget (MB, 0=off): skips even the .npy
+    # sidecar read on repeat epochs — see AlignedDataset._open
+    ram_cache_mb: int = 0
     # ship uint8 images / uint8 labels / uint16 inst ids to the device and
     # normalize there ((x/127.5)-1 fused into the step): 3.3x less
     # host->device traffic per batch (84 -> 25 MB at 512x256 bs32). New
     # capability vs the reference (which transfers fp32)
     uint8_transfer: bool = False
+    # stage H2D transfer for batch N+1 on a worker thread while step N
+    # runs (train/prefetch.py double buffer); 0 = synchronous
+    device_prefetch: int = 2
 
     # display
     display_winsize: int = 512

@@ -105,13 +105,23 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
 
     total_steps = int(state.step)
     profile_dir = getattr(opt, "profile_dir", "")
+
+    from .prefetch import device_prefetch
+
+    prefetch_depth = getattr(opt, "device_prefetch", 2)
+
+    def _stage(host_batch):
+        b = _device_batch(host_batch)
+        if mesh is not None:
+            b = train_steps.shard_batch(b, mesh)
+        return b
+
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
         epoch_start = time.time()
-        for i, host_batch in enumerate(loader):
+        for i, (batch, host_batch) in enumerate(
+            device_prefetch(loader, _stage, prefetch_depth)
+        ):
             iter_start = time.time()
-            batch = _device_batch(host_batch)
-            if mesh is not None:
-                batch = train_steps.shard_batch(batch, mesh)
             with trace(profile_dir if total_steps == 20 else None):
                 state, metrics, fake = step_fn(state, batch)
             total_steps += 1
