@@ -205,3 +205,42 @@ def test_mask2image_uint8_transfer_batch(rng):
         # uint8 quantization of the image perturbs losses slightly
         assert abs(a - b) < 0.15 * (abs(a) + 1.0), (k, a, b)
     assert fake_u8.shape == fake_f32.shape
+
+
+def test_dp_step_matches_single_device_full_loss(rng):
+    """DP grad equality with EVERY production loss branch live (LSGAN + FM
+    + VGG): the sharded step must not mis-replicate the VGG taps
+    (VERDICT r2 next#4 / BASELINE.json config #5)."""
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices()[:4])
+    mesh = Mesh(devices, ("data",))
+
+    opt = tiny_m2i_opt(no_ganFeat_loss=False, no_vgg_loss=False, batchSize=4)
+    model = create_model(opt)
+    batch = synthetic_batch(rng, 4, hw=(32, 32), label_nc=opt.label_nc)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    vgg_params = params.pop("VGG")
+    state = GANTrainState.create(
+        params, optax.sgd(0.1), optax.sgd(0.1), jax.random.PRNGKey(1)
+    )
+
+    single = train_steps.make_train_step(model, vgg_params=vgg_params, donate=False)
+    s1, m1, _ = single(state, batch)
+    assert float(m1["G_VGG"]) != 0.0
+
+    dp = train_steps.make_dp_train_step(model, mesh, vgg_params=vgg_params)
+    state_r = train_steps.replicate(state, mesh)
+    batch_s = train_steps.shard_batch(batch, mesh)
+    s2, m2, _ = dp(state_r, batch_s)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-3, atol=2e-4)
+    for net in ("G", "D"):
+        for a, b in zip(
+            jax.tree.leaves(s1.params[net]), jax.tree.leaves(s2.params[net])
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
+            )
