@@ -63,8 +63,18 @@ class BaseOptions:
     # capability vs the reference (which transfers fp32)
     uint8_transfer: bool = False
     # stage H2D transfer for batch N+1 on a worker thread while step N
-    # runs (train/prefetch.py double buffer); 0 = synchronous
-    device_prefetch: int = 2
+    # runs (train/prefetch.py double buffer); 0 = synchronous. Default 0:
+    # measured on the 1-core axon host the staging thread LOSES (57.1 ->
+    # 54.7 img/s loop-level — GIL contention, and axon serializes H2D
+    # against a busy device anyway); the lever exists for multi-core
+    # hosts with true async transfer
+    device_prefetch: int = 0
+    # upload the WHOLE dataset to HBM once and gather/augment batches
+    # on-device (data/device_resident.py) — per-step H2D is one index
+    # vector. Right call whenever the resized dataset fits next to the
+    # step's working set (Cityscapes 512x256 uint8 ~ 2.3 GB); aligned
+    # dataset only
+    device_resident_data: bool = False
 
     # display
     display_winsize: int = 512

@@ -1,0 +1,194 @@
+"""Device-resident dataset: upload once, gather + augment on-chip.
+
+TPU-native input-pipeline mode (SURVEY §4.5) motivated by a measured
+axon pathology (round-3 probes, tools/profile_decode.py lineage): H2D
+bandwidth collapses ~50x — to ~25 MB/s with a ~29 ms floor — once the
+large training program + params are resident on the device, so streaming
+the 25 MB/step uint8 batch caps loop-level throughput at ~50 img/s no
+matter how the host stages it (threaded device_put does NOT overlap).
+
+The dataset itself is small by HBM standards: Cityscapes at 512x256
+uint8 is ~0.8 MB/sample, so the whole 2975-image train split is ~2.3 GB
+— it fits next to the bs32 step's working set on a 16 GB v5e. This mode
+uploads every sample ONCE (resized, pre-crop, pre-flip), then serves
+each training batch as an on-device jitted gather + random-crop + flip;
+the only per-step H2D is one (batch,) int32 index vector.
+
+Augmentation parity with the host pipeline (data/transforms.py):
+  - resize (scale_width / resize_and_crop loadSize) happens on host at
+    materialization time, bicubic for RGB / nearest for ids — identical
+    to apply_transform's resize step;
+  - the random fineSize-square crop and left-right flip happen on device
+    with jax.random (same uniform crop-position / fair-coin laws, a
+    different RNG stream than the host's np.random — contents are a
+    resample of the same distribution, not bit-equal to the host draw).
+With resize_or_crop in ("none", "scale_width", "resize_and_crop"-sans-
+crop...) i.e. no crop and --no_flip, batches are BIT-EQUAL to the host
+pipeline (tested in tests/test_device_resident.py).
+
+The reference (torch DataLoader + .cuda() per step) has no analogue;
+this is a new capability that exists because HBM capacity vs dataset
+size makes it the right TPU design, not a translation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Iterator
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from PIL import Image
+
+from .transforms import _scale_width
+
+
+def _resize_only(img: Image.Image, opt, method):
+    """apply_transform's resize step (transforms.py:52-56) WITHOUT the
+    crop/flip — those run on device."""
+    if opt.resize_or_crop == "resize_and_crop":
+        return img.resize((opt.loadSize, opt.loadSize), method)
+    if opt.resize_or_crop.startswith("scale_width"):
+        return _scale_width(img, opt.loadSize, method)
+    return img
+
+
+@partial(jax.jit, static_argnames=("fine", "do_crop", "do_flip", "as_float"))
+def _sample_batch(data, idx, key, fine, do_crop, do_flip, as_float):
+    """Gather ``idx`` rows and apply the per-sample crop/flip draws.
+
+    data: dict of [N,H,W(,C)] device arrays (compact dtypes).
+    Returns the batch in the dtypes the train step expects (uint8/uint16
+    when uint8_transfer, else float RGB + int32 ids).
+    """
+    batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+    kc, kx, kf = jax.random.split(key, 3)
+    if do_crop:
+        h, w = data["label"].shape[1], data["label"].shape[2]
+        b = idx.shape[0]
+        # same law as get_params: y ~ U[0, H-fine], x ~ U[0, W-fine]
+        ys = jax.random.randint(kc, (b,), 0, max(h - fine, 0) + 1)
+        xs = jax.random.randint(kx, (b,), 0, max(w - fine, 0) + 1)
+
+        def crop_one(a, y, x):
+            if a.ndim == 2:
+                return jax.lax.dynamic_slice(a, (y, x), (fine, fine))
+            return jax.lax.dynamic_slice(a, (y, x, 0), (fine, fine, a.shape[-1]))
+
+        batch = {
+            k: jax.vmap(crop_one)(v, ys, xs) for k, v in batch.items()
+        }
+    if do_flip:
+        coin = jax.random.bernoulli(kf, 0.5, (idx.shape[0],))
+
+        def flip_one(v):
+            mask = coin.reshape((-1,) + (1,) * (v.ndim - 1))
+            return jnp.where(mask, v[:, :, ::-1], v)
+
+        batch = {k: flip_one(v) for k, v in batch.items()}
+    if as_float:
+        batch["image"] = batch["image"].astype(jnp.float32) / 127.5 - 1.0
+        batch["label"] = batch["label"].astype(jnp.int32)
+        batch["inst"] = batch["inst"].astype(jnp.int32)
+    return batch
+
+
+class DeviceResidentLoader:
+    """Drop-in for data.loader.DataLoader over an AlignedDataset.
+
+    Iterates epochs of on-device batches; per-step host work is one
+    numpy shuffle slice + a (batch,) int32 device_put.
+    """
+
+    def __init__(self, dataset, batch_size, shuffle=True, seed=0, drop_last=True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.RandomState(seed)
+        self._epoch = 0
+        opt = dataset.opt
+        self.fine = int(getattr(opt, "fineSize", 0))
+        self.do_flip = bool(getattr(opt, "isTrain", True)) and not getattr(
+            opt, "no_flip", False
+        )
+        self.u8 = bool(getattr(opt, "uint8_transfer", False))
+        self._key = jax.random.PRNGKey(seed ^ 0x5EED)
+        self.data = self._materialize()
+        h, w = self.data["label"].shape[1], self.data["label"].shape[2]
+        self.do_crop = "crop" in getattr(opt, "resize_or_crop", "none") and (
+            h > self.fine or w > self.fine
+        )
+
+    # -- one-time upload ------------------------------------------------
+    def _load_base(self, i) -> Dict[str, np.ndarray]:
+        ds, opt = self.dataset, self.dataset.opt
+        label = np.asarray(
+            _resize_only(ds._open(ds.label_paths[i]), opt, Image.NEAREST)
+        ).astype(np.uint8)
+        if label.ndim == 3:
+            label = label[..., 0]
+        out = {"label": label}
+        if ds.inst_paths is not None:
+            inst = np.asarray(
+                _resize_only(ds._open(ds.inst_paths[i]), opt, Image.NEAREST)
+            )
+            if inst.ndim == 3:
+                inst = inst[..., 0]
+            out["inst"] = inst.astype(np.uint16 if self.u8 else np.int32)
+        else:
+            out["inst"] = np.zeros_like(label, np.uint16 if self.u8 else np.int32)
+        if ds.image_paths is not None:
+            rgb = _resize_only(
+                ds._open(ds.image_paths[i]).convert("RGB"), opt, Image.BICUBIC
+            )
+            out["image"] = np.asarray(rgb, np.uint8)
+        return out
+
+    def _materialize(self):
+        n = len(self.dataset)
+        samples = [self._load_base(i) for i in range(n)]
+        stacked = {
+            k: np.stack([s[k] for s in samples]) for k in samples[0]
+        }
+        nbytes = sum(v.nbytes for v in stacked.values())
+        print(
+            f"[device-resident] uploading {n} samples, "
+            f"{nbytes / 1e6:.0f} MB to HBM (one-time)"
+        )
+        return {k: jnp.asarray(v) for k, v in stacked.items()}
+
+    # -- loader protocol ------------------------------------------------
+    def __len__(self):
+        n = len(self.dataset) // self.batch_size
+        if not self.drop_last and len(self.dataset) % self.batch_size:
+            n += 1
+        return n
+
+    def first_batch(self):
+        n = min(self.batch_size, len(self.dataset))
+        return self._draw(np.arange(n), jax.random.PRNGKey(0))
+
+    def _draw(self, idx, key):
+        return _sample_batch(
+            self.data,
+            jnp.asarray(idx, jnp.int32),
+            key,
+            fine=self.fine,
+            do_crop=getattr(self, "do_crop", False),
+            do_flip=self.do_flip,
+            as_float=not self.u8,
+        )
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(idx)
+        self._epoch += 1
+        nb = len(self)
+        for b in range(nb):
+            self._key, sub = jax.random.split(self._key)
+            yield self._draw(idx[b * self.batch_size : (b + 1) * self.batch_size], sub)

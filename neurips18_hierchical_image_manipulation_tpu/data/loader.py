@@ -108,6 +108,18 @@ def CreateDataLoader(opt, records=None):
         from .cityscapes import AlignedDataset
 
         ds = AlignedDataset(opt)
+        if getattr(opt, "device_resident_data", False):
+            # upload-once HBM-resident mode (data/device_resident.py):
+            # sidesteps the measured axon H2D collapse; per-step host
+            # work is one index-vector put
+            from .device_resident import DeviceResidentLoader
+
+            return DeviceResidentLoader(
+                ds,
+                batch_size=opt.batchSize,
+                shuffle=not opt.serial_batches,
+                seed=getattr(opt, "seed", 0),
+            )
     return DataLoader(
         ds,
         batch_size=opt.batchSize,

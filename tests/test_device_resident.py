@@ -1,0 +1,151 @@
+"""Device-resident dataset mode (data/device_resident.py): bit-equality
+with the host pipeline when no crop/flip, on-device augmentation laws,
+and loader-protocol compatibility with the train loop."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+import jax.numpy as jnp
+
+from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+    MaskToImageTrainOptions,
+)
+from neurips18_hierchical_image_manipulation_tpu.data.cityscapes import AlignedDataset
+from neurips18_hierchical_image_manipulation_tpu.data.device_resident import (
+    DeviceResidentLoader,
+)
+from neurips18_hierchical_image_manipulation_tpu.data.loader import (
+    CreateDataLoader,
+    DataLoader,
+)
+
+
+@pytest.fixture
+def dataroot(tmp_path):
+    root = tmp_path / "city"
+    for sub in ("train_label", "train_inst", "train_img"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.RandomState(7)
+    for i in range(4):
+        h, w = 64, 128
+        label = np.full((h, w), 7, np.uint8)
+        label[: h // 2] = 23
+        inst = (label.astype(np.int32)) * 1000 + i
+        img = rng.randint(0, 255, size=(h, w, 3), dtype=np.uint8)
+        Image.fromarray(label).save(root / "train_label" / f"{i:03d}.png")
+        Image.fromarray(inst, mode="I").save(root / "train_inst" / f"{i:03d}.png")
+        Image.fromarray(img).save(root / "train_img" / f"{i:03d}.png")
+    return str(root)
+
+
+def opt_for(dataroot, tmp_path, **kw):
+    base = dict(
+        name="dr",
+        checkpoints_dir=os.path.join(str(tmp_path), "ckpt"),
+        dataroot=dataroot,
+        loadSize=128,
+        fineSize=64,
+        resize_or_crop="none",
+        no_flip=True,
+        batchSize=2,
+        serial_batches=True,
+        use_bbox_dataset=False,
+    )
+    base.update(kw)
+    return MaskToImageTrainOptions(**base)
+
+
+def test_bit_equal_to_host_pipeline_u8(dataroot, tmp_path):
+    """No crop, no flip, uint8_transfer: resident batches == streamed."""
+    opt = opt_for(dataroot, tmp_path, uint8_transfer=True)
+    ds = AlignedDataset(opt)
+    host = DataLoader(ds, batch_size=2, shuffle=False, num_threads=1)
+    res = DeviceResidentLoader(ds, batch_size=2, shuffle=False)
+    for hb, rb in zip(host, res):
+        for k in ("label", "inst", "image"):
+            np.testing.assert_array_equal(np.asarray(rb[k]), hb[k])
+            assert np.asarray(rb[k]).dtype == hb[k].dtype
+
+
+def test_float_mode_matches_normalized(dataroot, tmp_path):
+    opt = opt_for(dataroot, tmp_path, uint8_transfer=False)
+    ds = AlignedDataset(opt)
+    host = DataLoader(ds, batch_size=2, shuffle=False, num_threads=1)
+    res = DeviceResidentLoader(ds, batch_size=2, shuffle=False)
+    hb = next(iter(host))
+    rb = next(iter(res))
+    np.testing.assert_allclose(np.asarray(rb["image"]), hb["image"], atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rb["label"]), hb["label"])
+    assert np.asarray(rb["label"]).dtype == np.int32
+
+
+def test_on_device_crop_and_flip(dataroot, tmp_path):
+    """scale_width_and_crop + flip: fineSize square crops whose content
+    rows come from the stored base images; draws are key-deterministic."""
+    opt = opt_for(
+        dataroot,
+        tmp_path,
+        resize_or_crop="scale_width_and_crop",
+        loadSize=128,
+        fineSize=32,
+        no_flip=False,
+        uint8_transfer=True,
+    )
+    ds = AlignedDataset(opt)
+    res = DeviceResidentLoader(ds, batch_size=2, shuffle=False, seed=3)
+    assert res.do_crop and res.do_flip
+    b = next(iter(res))
+    assert b["label"].shape == (2, 32, 32)
+    assert b["image"].shape == (2, 32, 32, 3)
+    # crops contain only the two stripe classes
+    assert set(np.unique(np.asarray(b["label"]))) <= {7, 23}
+    # label/inst/image got the SAME geometry: inst == label*1000 + const
+    lab = np.asarray(b["label"]).astype(np.int32)
+    inst = np.asarray(b["inst"]).astype(np.int32)
+    np.testing.assert_array_equal(inst // 1000, lab)
+    # same seed => same draws
+    res2 = DeviceResidentLoader(ds, batch_size=2, shuffle=False, seed=3)
+    b2 = next(iter(res2))
+    np.testing.assert_array_equal(np.asarray(b["image"]), np.asarray(b2["image"]))
+
+
+def test_crop_positions_vary(dataroot, tmp_path):
+    opt = opt_for(
+        dataroot,
+        tmp_path,
+        resize_or_crop="crop",
+        fineSize=16,
+        uint8_transfer=True,
+    )
+    ds = AlignedDataset(opt)
+    res = DeviceResidentLoader(ds, batch_size=4, shuffle=False, seed=0)
+    imgs = []
+    for _ in range(3):  # one batch per epoch at bs=4 over 4 samples
+        for b in res:
+            imgs.append(np.asarray(b["image"]))
+    # across steps the random crops should not all be identical
+    assert not all((imgs[0] == x).all() for x in imgs[1:])
+
+
+def test_create_dataloader_flag(dataroot, tmp_path):
+    opt = opt_for(dataroot, tmp_path, device_resident_data=True, uint8_transfer=True)
+    loader = CreateDataLoader(opt)
+    assert isinstance(loader, DeviceResidentLoader)
+    assert len(loader) == 2
+    fb = loader.first_batch()
+    assert fb["label"].shape[0] == 2
+    # loader protocol: epoch iteration yields len(loader) batches
+    assert sum(1 for _ in loader) == 2
+
+
+def test_shuffle_is_seeded(dataroot, tmp_path):
+    opt = opt_for(dataroot, tmp_path, uint8_transfer=True)
+    ds = AlignedDataset(opt)
+    a = DeviceResidentLoader(ds, batch_size=2, shuffle=True, seed=5)
+    b = DeviceResidentLoader(ds, batch_size=2, shuffle=True, seed=5)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(ba["label"]), np.asarray(bb["label"]))

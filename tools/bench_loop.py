@@ -76,6 +76,7 @@ def main():
         decode_cache=os.environ.get("HIMAN_DECODE_CACHE", "1") == "1",
         uint8_transfer=os.environ.get("HIMAN_U8", "1") == "1",
         ram_cache_mb=int(os.environ.get("HIMAN_RAM_CACHE_MB", "2048")),
+        device_resident_data=os.environ.get("HIMAN_RESIDENT", "0") == "1",
     )
     model = create_model(opt)
     loader = CreateDataLoader(opt)
@@ -113,7 +114,8 @@ def main():
     dev_ips = bs * iters / (time.perf_counter() - t0)
 
     # loop-level: real loader in the loop
-    if getattr(opt, "decode_cache", False):
+    resident = bool(getattr(opt, "device_resident_data", False))
+    if getattr(opt, "decode_cache", False) and not resident:
         # steady-state measurement: warm the decode-once .npy cache
         # (first-epoch cost is one extra decode+save per file)
         for host_batch in loader:
@@ -122,7 +124,7 @@ def main():
         device_prefetch,
     )
 
-    depth = int(os.environ.get("HIMAN_PREFETCH", "2"))
+    depth = 0 if resident else int(os.environ.get("HIMAN_PREFETCH", "0"))
     n_steps = 0
     t0 = time.perf_counter()
     for epoch in range(4):
@@ -139,6 +141,7 @@ def main():
         "host_overhead_pct": round(100 * (1 - loop_ips / dev_ips), 1),
         "nThreads": nthreads,
         "device_prefetch": depth,
+        "device_resident": resident,
         "decode_cache": bool(getattr(opt, "decode_cache", False)),
         "unit": "images/sec/chip",
     }))
