@@ -123,6 +123,8 @@ def main():
 
     img_per_s = batch_size * iters / dt
     A100_TORCH_IMG_PER_S = 22.3  # measured-anchored, see module docstring
+    TFLOP_PER_IMG = 1.179  # measured layer walk (TORCH_BASELINE.json)
+    V5E_BF16_PEAK = 197.0
     print(
         json.dumps(
             {
@@ -130,6 +132,8 @@ def main():
                 "value": round(img_per_s, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_s / A100_TORCH_IMG_PER_S, 3),
+                "achieved_tflops": round(img_per_s * TFLOP_PER_IMG, 1),
+                "mfu": round(img_per_s * TFLOP_PER_IMG / V5E_BF16_PEAK, 3),
                 "baseline_basis": "A100 est 22.3 img/s from measured 1.179"
                 " TFLOP/img x 35 TF/s TF32 x 0.75 eager (TORCH_BASELINE.json)",
             }

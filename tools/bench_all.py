@@ -61,9 +61,21 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--bs", type=int, default=16)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--out", default="", help="also write results to this JSON file")
+    p.add_argument(
+        "--with_1024p",
+        action="store_true",
+        help="include the 1024p LocalEnhancer train-step config (long compile)",
+    )
     args = p.parse_args()
     bs = args.bs
     rng = np.random.RandomState(0)
+
+    results = []
+
+    def emit(rec):
+        results.append(rec)
+        print(json.dumps(rec))
 
     def sync(r):
         leaf = jax.tree.leaves(r)[0]
@@ -80,8 +92,8 @@ def main():
     params1 = jax.jit(lambda r: m2i.init_params(r, b1))(jax.random.PRNGKey(0))
     infer1 = jax.jit(lambda p, b: m2i.inference(p, b))
     dt = timeit(lambda: infer1(params1, b1), sync, args.iters)
-    print(json.dumps({"metric": "g_forward_256x128", "value": round(bs / dt, 2),
-                      "unit": "images/sec/chip"}))
+    emit({"metric": "g_forward_256x128", "value": round(bs / dt, 2),
+          "unit": "images/sec/chip"})
 
     # --- config #2: structure generator forward 128x128 crops ---
     b2m_opt = BoxToMaskTestOptions(
@@ -94,8 +106,8 @@ def main():
     params2 = jax.jit(lambda r: b2m.init_params(r, b2))(jax.random.PRNGKey(0))
     infer2 = jax.jit(lambda p, b: b2m.inference(p, b))
     dt = timeit(lambda: infer2(params2, b2), sync, args.iters)
-    print(json.dumps({"metric": "structure_forward_128", "value": round(bs / dt, 2),
-                      "unit": "crops/sec/chip"}))
+    emit({"metric": "structure_forward_128", "value": round(bs / dt, 2),
+          "unit": "crops/sec/chip"})
 
     # --- config #4: full two-step manipulation chain ---
     pipe = TwoStepPipeline(b2m, params2, m2i, params1)
@@ -107,8 +119,58 @@ def main():
     cls = jnp.full((bs,), 26, jnp.int32)
     fwd4 = lambda: pipe.add_object(image, label, inst, boxes, cls)
     dt = timeit(fwd4, sync, args.iters)
-    print(json.dumps({"metric": "two_step_edit_512x256", "value": round(bs / dt, 2),
-                      "unit": "edits/sec/chip"}))
+    emit({"metric": "two_step_edit_512x256", "value": round(bs / dt, 2),
+          "unit": "edits/sec/chip"})
+
+    # --- 1024p coarse-to-fine train step (scripts/..._1024p.sh config) ---
+    if args.with_1024p:
+        import optax
+
+        from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+            MaskToImageTrainOptions,
+        )
+        from neurips18_hierchical_image_manipulation_tpu.train import (
+            steps as train_steps,
+        )
+        from neurips18_hierchical_image_manipulation_tpu.train.state import (
+            GANTrainState,
+        )
+
+        bs1k = 4
+        opt1k = MaskToImageTrainOptions(
+            name="ba1k", checkpoints_dir="/tmp/himan_ba", label_nc=35,
+            netG="local", ngf=32, n_downsample_global=4, n_blocks_global=9,
+            n_blocks_local=3, num_D=3, n_layers_D=3, batchSize=bs1k,
+            use_masked_image=True, dtype="bfloat16",
+        )
+        m1k = create_model(opt1k)
+        b1k = synthetic_batch(rng, bs1k, hw=(512, 1024), label_nc=35)
+        b1k = {k: jnp.asarray(v) for k, v in b1k.items()}
+        p1k = jax.jit(lambda r: m1k.init_params(r, b1k))(jax.random.PRNGKey(0))
+        vgg1k = p1k.pop("VGG", None)
+        tx = optax.adam(2e-4, b1=0.5)
+        st = GANTrainState.create(p1k, tx, tx, jax.random.PRNGKey(1))
+        step1k = train_steps.make_train_step(
+            m1k, vgg_params=vgg1k, compute_dtype=jnp.bfloat16
+        )
+
+        st, m, _ = step1k(st, b1k)
+        _ = float(m["D_real"])
+        t0 = time.perf_counter()
+        n = max(args.iters // 5, 5)
+        for _ in range(n):
+            st, m, _ = step1k(st, b1k)
+        _ = float(m["D_real"])
+        dt = (time.perf_counter() - t0) / n
+        emit({"metric": "train_1024x512_local_enhancer", "value": round(bs1k / dt, 2),
+              "unit": "images/sec/chip"})
+
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(
+                {"configs": results, "bs": bs, "iters": args.iters}, f, indent=1
+            )
+        print(f"wrote {args.out}")
 
 
 if __name__ == "__main__":
