@@ -104,6 +104,15 @@ def CreateDataLoader(opt, records=None):
         from .bbox import BboxCropDataset
 
         ds = BboxCropDataset(opt, records=records)
+        if getattr(opt, "device_resident_data", False):
+            from .device_resident import DeviceResidentBboxLoader
+
+            return DeviceResidentBboxLoader(
+                ds,
+                batch_size=opt.batchSize,
+                shuffle=not opt.serial_batches,
+                seed=getattr(opt, "seed", 0),
+            )
     else:
         from .cityscapes import AlignedDataset
 

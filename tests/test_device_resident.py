@@ -142,6 +142,97 @@ def test_create_dataloader_flag(dataroot, tmp_path):
     assert sum(1 for _ in loader) == 2
 
 
+def bbox_dataroot(tmp_path):
+    """Scenes with smooth RGB (so bilinear-vs-bicubic window resampling
+    stays comparable) and real instance rectangles."""
+    root = tmp_path / "bboxcity"
+    for sub in ("train_label", "train_inst", "train_img"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.RandomState(3)
+    for i in range(3):
+        h, w = 64, 128
+        label = np.full((h, w), 7, np.uint8)
+        label[: h // 2] = 23
+        inst = label.astype(np.int32) * 1000
+        y0, x0, bh, bw = 18, 28 + 10 * i, 26, 34
+        label[y0 : y0 + bh, x0 : x0 + bw] = 26
+        inst[y0 : y0 + bh, x0 : x0 + bw] = 26000 + i
+        yy, xx = np.mgrid[0:h, 0:w]
+        img = np.stack(
+            [(yy * 2) % 256, (xx * 2) % 256, ((yy + xx) * 1) % 256], axis=-1
+        ).astype(np.uint8)
+        Image.fromarray(label).save(root / "train_label" / f"{i:03d}.png")
+        Image.fromarray(inst, mode="I").save(root / "train_inst" / f"{i:03d}.png")
+        Image.fromarray(img).save(root / "train_img" / f"{i:03d}.png")
+    return str(root)
+
+
+def test_bbox_resident_matches_host_ids(tmp_path):
+    """ID crops / masks / record fields are BIT-EQUAL to the streaming
+    BboxCropDataset; RGB matches to interpolation-kernel tolerance."""
+    from neurips18_hierchical_image_manipulation_tpu.data.bbox import BboxCropDataset
+    from neurips18_hierchical_image_manipulation_tpu.data.device_resident import (
+        DeviceResidentBboxLoader,
+    )
+
+    root = bbox_dataroot(tmp_path)
+    opt = opt_for(
+        root,
+        tmp_path,
+        use_bbox_dataset=True,
+        fineSize=32,
+        min_box_size=8,
+        uint8_transfer=True,
+    )
+    ds = BboxCropDataset(opt)
+    assert len(ds.records) == 9  # 2 stuff stripes + 1 car per image
+    res = DeviceResidentBboxLoader(ds, batch_size=1, shuffle=False)
+    for i in range(len(ds.records)):
+        host = ds[i]
+        dev = res._draw(np.asarray([i]))
+        for k in ("gt_layout", "boxmask", "gt_objmask"):
+            np.testing.assert_array_equal(
+                np.asarray(dev[k])[0], host[k], err_msg=k
+            )
+        np.testing.assert_array_equal(np.asarray(dev["inst"])[0], host["inst"])
+        assert int(dev["cls"][0]) == int(host["cls"])
+        np.testing.assert_array_equal(np.asarray(dev["boxes"])[0], host["boxes"])
+        # bilinear (device) vs bicubic (host) on a smooth image
+        d = np.abs(
+            np.asarray(dev["image"])[0].astype(np.float32)
+            - host["image"].astype(np.float32)
+        )
+        assert d.mean() < 4.0 and d.max() < 64.0
+
+
+def test_bbox_resident_loader_protocol(tmp_path):
+    from neurips18_hierchical_image_manipulation_tpu.data.device_resident import (
+        DeviceResidentBboxLoader,
+    )
+
+    root = bbox_dataroot(tmp_path)
+    opt = opt_for(
+        root,
+        tmp_path,
+        use_bbox_dataset=True,
+        device_resident_data=True,
+        fineSize=32,
+        min_box_size=8,
+        uint8_transfer=True,
+        batchSize=1,
+    )
+    loader = CreateDataLoader(opt)
+    assert isinstance(loader, DeviceResidentBboxLoader)
+    assert len(loader) == 9
+    fb = loader.first_batch()
+    assert fb["gt_layout"].shape == (1, 32, 32)
+    n = 0
+    for b in loader:
+        assert np.isfinite(np.asarray(b["boxmask"])).all()
+        n += 1
+    assert n == 9
+
+
 def test_shuffle_is_seeded(dataroot, tmp_path):
     opt = opt_for(dataroot, tmp_path, uint8_transfer=True)
     ds = AlignedDataset(opt)

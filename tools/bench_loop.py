@@ -22,7 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def make_dataroot(root, n_images, hw, label_nc=35):
+def make_dataroot(root, n_images, hw, label_nc=35, structured=False):
     from PIL import Image
 
     rng = np.random.RandomState(0)
@@ -30,9 +30,25 @@ def make_dataroot(root, n_images, hw, label_nc=35):
     for sub in ("train_label", "train_inst", "train_img"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
     for i in range(n_images):
-        lab = rng.randint(0, label_nc, (h, w)).astype(np.uint8)
+        if structured:
+            # scene with contiguous object rectangles so the bbox-crop
+            # leg finds real instance records (random per-pixel labels
+            # yield no boxes above min_box_size)
+            lab = np.full((h, w), 7, np.uint8)
+            lab[: h // 2] = 23
+            inst = lab.astype(np.int32) * 1000
+            for k in range(3):
+                bh, bw = int(rng.randint(40, 90)), int(rng.randint(50, 110))
+                y0 = int(rng.randint(0, h - bh))
+                x0 = int(rng.randint(0, w - bw))
+                lab[y0 : y0 + bh, x0 : x0 + bw] = 26
+                inst[y0 : y0 + bh, x0 : x0 + bw] = 26000 + i * 8 + k
+        else:
+            lab = rng.randint(0, label_nc, (h, w)).astype(np.uint8)
+            inst = (lab.astype(np.int64) * 1000 + rng.randint(0, 4, (h, w))).astype(
+                np.int32
+            )
         Image.fromarray(lab).save(f"{root}/train_label/{i:04d}.png")
-        inst = (lab.astype(np.int64) * 1000 + rng.randint(0, 4, (h, w))).astype(np.int32)
         Image.fromarray(inst, mode="I").save(f"{root}/train_inst/{i:04d}.png")
         img = rng.randint(0, 255, (h, w, 3), dtype=np.uint8)
         Image.fromarray(img).save(f"{root}/train_img/{i:04d}.png")
@@ -61,17 +77,26 @@ def main():
     nnops.set_default_precision("default")
     bs = int(os.environ.get("HIMAN_BENCH_BS", "32"))
     nthreads = int(os.environ.get("HIMAN_BENCH_NTHREADS", "8"))
+    bbox_leg = os.environ.get("HIMAN_BBOX", "0") == "1"
     n_images = bs * 6
 
-    root = os.path.join(tempfile.gettempdir(), "himan_loop_city")
+    root = os.path.join(
+        tempfile.gettempdir(), "himan_loop_bbox" if bbox_leg else "himan_loop_city"
+    )
     if not os.path.exists(os.path.join(root, "train_label")):
-        make_dataroot(root, n_images, (256, 512))
+        make_dataroot(root, n_images, (256, 512), structured=bbox_leg)
 
     opt = MaskToImageTrainOptions(
         name="benchloop", checkpoints_dir="/tmp/himan_benchloop", dataroot=root,
         label_nc=35, ngf=64, ndf=64, n_downsample_global=4, n_blocks_global=9,
         num_D=2, n_layers_D=3, batchSize=bs, use_masked_image=True,
-        use_bbox_dataset=False, dtype="bfloat16", resize_or_crop="none",
+        # bbox leg: the flagship box-conditioned crop config
+        # (scripts/train_mask2image_city.sh semantics — 256x256 context
+        # windows around real instance records)
+        use_bbox_dataset=bbox_leg,
+        fineSize=256 if bbox_leg else 512,
+        min_box_size=16,
+        dtype="bfloat16", resize_or_crop="none",
         no_flip=True, nThreads=nthreads, serial_batches=True,
         decode_cache=os.environ.get("HIMAN_DECODE_CACHE", "1") == "1",
         uint8_transfer=os.environ.get("HIMAN_U8", "1") == "1",
@@ -82,16 +107,26 @@ def main():
     loader = CreateDataLoader(opt)
 
     first = loader.first_batch()
-    # synthesize boxes for masked-RGB conditioning (aligned dataset has
-    # none); the constant device tensor is hoisted OUT of the per-step
-    # path (a per-step jnp.tile is an eager device op — one tunnel RTT
-    # per iteration on axon)
-    boxes_const = jnp.tile(jnp.asarray([[64.0, 128.0, 96.0, 160.0]]), (bs, 1))
+    if bbox_leg:
+        # the crop dataset supplies per-record boxes
+        def with_boxes(b):
+            return {
+                k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, list)
+            }
 
-    def with_boxes(b):
-        out = {k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, list)}
-        out["boxes"] = boxes_const
-        return out
+    else:
+        # synthesize boxes for masked-RGB conditioning (aligned dataset
+        # has none); the constant device tensor is hoisted OUT of the
+        # per-step path (a per-step jnp.tile is an eager device op — one
+        # tunnel RTT per iteration on axon)
+        boxes_const = jnp.tile(jnp.asarray([[64.0, 128.0, 96.0, 160.0]]), (bs, 1))
+
+        def with_boxes(b):
+            out = {
+                k: jnp.asarray(v) for k, v in b.items() if not isinstance(v, list)
+            }
+            out["boxes"] = boxes_const
+            return out
 
     batch0 = with_boxes(first)
     params = jax.jit(lambda r: model.init_params(r, batch0))(jax.random.PRNGKey(0))
@@ -135,7 +170,8 @@ def main():
     loop_ips = bs * n_steps / (time.perf_counter() - t0)
 
     print(json.dumps({
-        "metric": "loop_vs_device_images_per_sec_512x256",
+        "metric": "loop_vs_device_images_per_sec_"
+        + ("bbox256" if bbox_leg else "512x256"),
         "device_only": round(dev_ips, 2),
         "loop_level": round(loop_ips, 2),
         "host_overhead_pct": round(100 * (1 - loop_ips / dev_ips), 1),
