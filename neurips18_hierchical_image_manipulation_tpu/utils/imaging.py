@@ -54,8 +54,12 @@ class Colorize:
 
 
 def tensor2im(t, imtype=np.uint8):
-    """(H,W,3) or (B,H,W,3) in [-1,1] -> uint8 (first image if batched)."""
-    a = np.asarray(t, np.float32)
+    """(H,W,3) or (B,H,W,3) in [-1,1] -> uint8 (first image if batched).
+    uint8 input (an --uint8_transfer batch) is already display-ready."""
+    a = np.asarray(t)
+    if a.dtype == np.uint8:
+        return a[0] if a.ndim == 4 else a
+    a = np.asarray(a, np.float32)
     if a.ndim == 4:
         a = a[0]
     a = (a + 1.0) / 2.0
