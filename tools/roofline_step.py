@@ -1,0 +1,349 @@
+"""Step-level attainability roofline (VERDICT r2 next#1 'done' clause).
+
+Decomposes the headline GAN train step into its EXACT conv population
+(every `conv_general_dilated` in the step's jaxpr — fwd, dgrad, wgrad,
+all models incl. VGG/D, with multiplicities), microbenches each spec
+STANDALONE on the chip, measures achievable HBM stream bandwidth, and
+compares:
+
+    attainable_ms = sum(standalone conv times) + nonconv_bytes / stream_bw
+    measured_ms   = the in-graph step time (tools/profile_step.py trace)
+
+The standalone conv time is a fair attainability bound for the in-graph
+conv: fusion can only fold MORE work into the same op. The residual
+(measured - attainable) is therefore the true scheduling/fusion tax the
+current compiler leaves on the table, and — together with
+ROOFLINE_resblock.json showing our best Pallas formulation reaches only
+~58% of XLA's conv emitter on the trunk shape — bounds what ANY
+hand-kernel effort here could recover.
+
+Usage:
+  python tools/roofline_step.py --collect   # CPU: dump conv specs
+  python tools/roofline_step.py --bench     # TPU: microbench + report
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+SPECS = "/tmp/himan_conv_specs.json"
+
+
+def collect(out_path):
+    os.environ.setdefault("JAX_PLATFORMS", "axon")
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import optax
+
+    from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+        MaskToImageTrainOptions,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.models.factory import create_model
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+    from neurips18_hierchical_image_manipulation_tpu.train import steps as train_steps
+    from neurips18_hierchical_image_manipulation_tpu.train.state import GANTrainState
+
+    nnops.set_default_precision("default")
+    opt = MaskToImageTrainOptions(
+        name="rl", checkpoints_dir="/tmp/rl", label_nc=35, ngf=64, ndf=64,
+        n_downsample_global=4, n_blocks_global=9, num_D=2, n_layers_D=3,
+        batchSize=32, use_masked_image=True, dtype="bfloat16",
+    )
+    model = create_model(opt)
+    rng = np.random.RandomState(0)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in synthetic_batch(rng, 32, hw=(256, 512), label_nc=35).items()
+    }
+    shapes = jax.eval_shape(lambda r: model.init_params(r, batch), jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    vgg = params.pop("VGG", None)
+    state = GANTrainState.create(
+        params, optax.adam(2e-4, b1=0.5), optax.adam(2e-4, b1=0.5),
+        jax.random.PRNGKey(1),
+    )
+    step = train_steps.make_train_step(
+        model, vgg_params=vgg, compute_dtype=jnp.bfloat16, donate=False
+    )
+    jaxpr = jax.make_jaxpr(lambda s, b: step(s, b))(state, batch)
+
+    specs = {}
+
+    def walk(jx):
+        for eq in jx.eqns:
+            if eq.primitive.name == "conv_general_dilated":
+                p = eq.params
+                dn = p["dimension_numbers"]
+                rec = {
+                    "lhs_shape": list(eq.invars[0].aval.shape),
+                    "lhs_dtype": str(eq.invars[0].aval.dtype),
+                    "rhs_shape": list(eq.invars[1].aval.shape),
+                    "rhs_dtype": str(eq.invars[1].aval.dtype),
+                    "window_strides": list(p["window_strides"]),
+                    "padding": [list(x) for x in p["padding"]],
+                    "lhs_dilation": list(p["lhs_dilation"]),
+                    "rhs_dilation": list(p["rhs_dilation"]),
+                    "dimension_numbers": [
+                        list(dn.lhs_spec), list(dn.rhs_spec), list(dn.out_spec)
+                    ],
+                    "feature_group_count": int(p.get("feature_group_count", 1)),
+                    "batch_group_count": int(p.get("batch_group_count", 1)),
+                    "precision": str(p.get("precision")),
+                    "preferred_element_type": str(
+                        p.get("preferred_element_type") or ""
+                    ),
+                }
+                key = json.dumps(rec, sort_keys=True)
+                if key in specs:
+                    specs[key]["count"] += 1
+                else:
+                    specs[key] = {**rec, "count": 1}
+            for v in eq.params.values():
+                if hasattr(v, "eqns"):
+                    walk(v)
+                elif hasattr(v, "jaxpr") and hasattr(v.jaxpr, "eqns"):
+                    walk(v.jaxpr)
+
+    walk(jaxpr.jaxpr)
+    out = sorted(specs.values(), key=lambda r: -r["count"])
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {out_path}: {len(out)} distinct specs, "
+          f"{sum(r['count'] for r in out)} conv ops")
+
+
+def _conv_flops(rec):
+    # out spatial dims from the conv shape rule
+    lhs, rhs = rec["lhs_shape"], rec["rhs_shape"]
+    dn = rec["dimension_numbers"]
+    ln, lc = dn[0][0], dn[0][1]
+    lspatial = dn[0][2:]
+    rk_in, rk_out = dn[1][1], dn[1][0]
+    rspatial = dn[1][2:]
+    n = lhs[ln]
+    cin = lhs[lc]
+    cout = rhs[rk_out]
+    k_elems = 1
+    for d in rspatial:
+        k_elems *= rhs[d]
+    out_elems = 1
+    for i, d in enumerate(lspatial):
+        size = (lhs[d] - 1) * rec["lhs_dilation"][i] + 1
+        ksize = (rhs[rspatial[i]] - 1) * rec["rhs_dilation"][i] + 1
+        pad = rec["padding"][i]
+        o = (size + pad[0] + pad[1] - ksize) // rec["window_strides"][i] + 1
+        out_elems *= o
+    return 2.0 * n * out_elems * cout * cin * k_elems / rec["feature_group_count"]
+
+
+def bench(specs_path, out_json, trace_dir, measured_step_ms):
+    """Microbench each conv spec with an in-jit lax.scan loop.
+
+    The axon tunnel charges ~8 ms of dispatch latency per jitted call, so
+    naive call-in-a-loop timing is dominated by host overhead (a first cut
+    measured the HBM triad at '47 GB/s'). Instead every measurement is ONE
+    dispatch running K iterations under lax.scan with a carry dependency
+    (so iterations can't be CSE'd away), timed at two lengths K and 2K;
+    ms = (t_2K - t_K) / K cancels dispatch+sync constants exactly.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+    recs = json.load(open(specs_path))
+    rng = np.random.RandomState(0)
+
+    def sync(y):
+        # block_until_ready is a no-op over the axon tunnel; a 1-element
+        # device_get is the only reliable fence here
+        np.asarray(jax.device_get(y[(0,) * y.ndim]))
+
+    def timed_pair(f, arg, k, reps=5):
+        """Per-iteration wall time of f's scan body, dispatch-free.
+
+        Times length-k and length-2k scans alternately; each (t2k - tk)/k
+        estimate cancels the tunnel's per-dispatch constant (~8 ms) but not
+        its jitter, so take the MEDIAN of `reps` estimates."""
+        fk = jax.jit(lambda a: f(a, k))
+        f2k = jax.jit(lambda a: f(a, 2 * k))
+        sync(fk(arg)); sync(f2k(arg))
+        ests = []
+        for _ in range(reps):
+            t0 = time.perf_counter(); sync(fk(arg))
+            t1 = time.perf_counter(); sync(f2k(arg))
+            t2 = time.perf_counter()
+            ests.append(((t2 - t1) - (t1 - t0)) / k)
+        return max(float(np.median(ests)), 1e-7)
+
+    # --- stream bandwidth: triad z = 0.5x + y over 128 MB bf16, carry=z ---
+    big = 64 * 1024 * 1024  # elements
+    x0 = jnp.asarray(rng.rand(big), jnp.bfloat16)
+    y0 = jnp.asarray(rng.rand(big), jnp.bfloat16)
+
+    def triad(args, length):
+        x, y = args
+        def body(c, _):
+            return c * 0.5 + y, ()
+        return lax.scan(body, x, None, length=length)[0]
+
+    dt = timed_pair(triad, (x0, y0), 128)
+    stream_gbs = 3 * big * 2 / dt / 1e9
+    print(f"stream bandwidth (2 reads + 1 write, bf16): {stream_gbs:.0f} GB/s")
+
+    total_ms = 0.0
+    total_flops = 0.0
+    rows = []
+    for i, rec in enumerate(recs):
+        lhs = jnp.asarray(
+            rng.rand(*rec["lhs_shape"]).astype(np.float32), rec["lhs_dtype"]
+        )
+        rhs = jnp.asarray(
+            rng.rand(*rec["rhs_shape"]).astype(np.float32), rec["rhs_dtype"]
+        )
+        dn = tuple(tuple(x) for x in rec["dimension_numbers"])
+        from jax.lax import ConvDimensionNumbers
+
+        dnn = ConvDimensionNumbers(*[tuple(x) for x in dn])
+        pet = rec["preferred_element_type"]
+        kwargs = dict(
+            window_strides=tuple(rec["window_strides"]),
+            padding=[tuple(p) for p in rec["padding"]],
+            lhs_dilation=tuple(rec["lhs_dilation"]),
+            rhs_dilation=tuple(rec["rhs_dilation"]),
+            dimension_numbers=dnn,
+            feature_group_count=rec["feature_group_count"],
+            batch_group_count=rec["batch_group_count"],
+        )
+        if pet:
+            kwargs["preferred_element_type"] = jnp.dtype(pet)
+
+        def convloop(args, length, kwargs=kwargs):
+            a, b = args
+            def body(r, _):
+                o = lax.conv_general_dilated(a, r, **kwargs)
+                # full-output reduction feedback: depends on EVERY conv
+                # output element (a 1-element slice let XLA narrow the conv
+                # to its receptive field — measured 25x too fast), fuses
+                # into the conv epilogue, then a 1-element in-place
+                # scatter-add into the carry blocks cross-iteration CSE
+                first = jnp.sum(o, dtype=jnp.float32).astype(r.dtype)
+                return r.at[(0,) * r.ndim].add(first * jnp.asarray(1e-7, r.dtype)), ()
+            return lax.scan(body, b, None, length=length)[0]
+
+        try:
+            fl = _conv_flops(rec)
+            # pick K so each timed call runs >= ~100 ms of conv work
+            est_ms = max(fl / 150e12 * 1e3, 0.05)
+            k = int(min(max(100.0 / est_ms, 8), 512))
+            ms = timed_pair(convloop, (lhs, rhs), k) * 1e3
+        except Exception as e:  # noqa: BLE001
+            print(f"[{i}] FAILED {e}")
+            continue
+        fl = _conv_flops(rec)
+        total_ms += ms * rec["count"]
+        total_flops += fl * rec["count"]
+        rows.append({
+            "lhs": rec["lhs_shape"], "rhs": rec["rhs_shape"],
+            "strides": rec["window_strides"], "lhs_dil": rec["lhs_dilation"],
+            "count": rec["count"], "ms": round(ms, 4),
+            "tflops": round(fl / (ms * 1e-3) / 1e12, 1),
+        })
+        if i % 10 == 0:
+            print(f"[{i}/{len(recs)}] cum {total_ms:.1f} ms")
+
+    # --- non-conv bound from the committed trace ---
+    nonconv_ms, nonconv_bytes, conv_graph_ms = trace_split(trace_dir)
+    nonconv_bound = nonconv_bytes / (stream_gbs * 1e9) * 1e3
+
+    attainable = total_ms + nonconv_bound
+    report = {
+        "measured_step_ms": measured_step_ms,
+        "conv_in_graph_ms": round(conv_graph_ms, 1),
+        "conv_standalone_ms": round(total_ms, 1),
+        "conv_fusion_tax_ms": round(conv_graph_ms - total_ms, 1),
+        "conv_total_tflop": round(total_flops / 1e12, 2),
+        "conv_standalone_tflops": round(total_flops / (total_ms * 1e-3) / 1e12, 1),
+        "nonconv_in_graph_ms": round(nonconv_ms, 1),
+        "nonconv_bytes_gb": round(nonconv_bytes / 1e9, 2),
+        "stream_bw_gbs_measured": round(stream_gbs, 0),
+        "nonconv_bound_ms": round(nonconv_bound, 1),
+        "attainable_step_ms": round(attainable, 1),
+        "headroom_pct": round(100 * (measured_step_ms / attainable - 1), 1),
+        "convs": sorted(rows, key=lambda r: -r["ms"] * r["count"])[:40],
+    }
+    with open(out_json, "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps({k: v for k, v in report.items() if k != "convs"}, indent=1))
+
+
+def trace_split(outdir):
+    """conv vs non-conv device time + non-conv bytes from the newest trace."""
+    paths = sorted(glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True))
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    nsteps = 0
+    conv_us = 0.0
+    other_us = 0.0
+    other_bytes = 0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        a = e.get("args")
+        if not a or "device_duration_ps" not in a:
+            continue
+        name = e.get("name", "")
+        if name in ("1", "2"):
+            nsteps += 1
+            continue
+        if name == "0" or name.startswith("jit_"):
+            continue
+        dur = float(a["device_duration_ps"]) / 1e6
+        if "conv_general_dilated" in a.get("tf_op", ""):
+            conv_us += dur
+        else:
+            other_us += dur
+            other_bytes += int(a.get("bytes_accessed", 0) or 0)
+    nsteps = max(nsteps + 1, 1)
+    return other_us / 1e3 / nsteps, other_bytes / nsteps, conv_us / 1e3 / nsteps
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--collect", action="store_true")
+    p.add_argument("--bench", action="store_true")
+    p.add_argument("--specs", default=SPECS)
+    p.add_argument("--trace_dir", default="/tmp/himan_prof")
+    p.add_argument("--measured_ms", type=float, default=344.6,
+                   help="in-graph step ms (from the same trace/bench run)")
+    p.add_argument("--out", default="ROOFLINE_step.json")
+    args = p.parse_args()
+    if args.collect:
+        collect(args.specs)
+    if args.bench:
+        bench(args.specs, args.out, args.trace_dir, args.measured_ms)
+
+
+if __name__ == "__main__":
+    main()
