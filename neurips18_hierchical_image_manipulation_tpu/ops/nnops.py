@@ -977,10 +977,20 @@ def relu(x):
     return jnp.maximum(x, 0)
 
 
-def avg_pool_3x3s2(x):
-    """torch.nn.AvgPool2d(kernel=3, stride=2, padding=1,
-    count_include_pad=False) — the multiscale-D inter-scale downsampler
-    (SURVEY.md §3.2 MultiscaleDiscriminator)."""
+# 3x3-s2 avgpool implementation: "slices" decomposes the overlapping
+# window into strided slices + adds (fusable elementwise, fast emitter);
+# "reduce_window" is the literal lowering. Motivation: XLA's overlapping-
+# window reduce_window emitter runs the D cond/RGB pyramid pools at
+# 71 GB/s effective (3.14 ms/step, TRACE_r03_baseline.txt). Measured
+# END-TO-END (full GAN step 512x256 bs32 bf16, v5e, 2026-08-17):
+# slices 91.08 img/s (x2 runs) vs reduce_window 92.34 — the strided
+# slices/pads break the one-hot->pool producer fusion and cost more than
+# the slow emitter they replace. Default OFF; fwd+grad parity vs the
+# literal form is ulp-tight (tests/test_nnops_vs_torch.py).
+_POOL_IMPL = _os.environ.get("HIMAN_POOL_IMPL", "reduce_window")
+
+
+def _avg_pool_3x3s2_reduce_window(x):
     window = (1, 3, 3, 1)
     strides = (1, 2, 2, 1)
     pad = ((0, 0), (1, 1), (1, 1), (0, 0))
@@ -988,6 +998,36 @@ def avg_pool_3x3s2(x):
     ones = jnp.ones(x.shape[1:3], dtype=x.dtype)[None, :, :, None]
     counts = lax.reduce_window(ones, 0.0, lax.add, window, strides, pad)
     return summed / counts
+
+
+def _avg_pool_3x3s2_slices(x):
+    """Overlapping k=3 s=2 p=1 window sums from non-overlapping strided
+    slices: P[j] = x[2j-1] + x[2j] + x[2j+1] = ev[j] + od[j] + od[j-1]
+    with ev = x[0::2], od = x[1::2] (od[-1] := 0). Separable over H then
+    W; count_include_pad=False via a constant inverse-count map (edge
+    windows have 2 taps per clipped axis, interior 3)."""
+    n, h, w, c = x.shape
+    ev = x[:, :, 0::2, :]
+    od = x[:, :, 1::2, :]
+    p = ev + od + jnp.pad(od[:, :, :-1, :], ((0, 0), (0, 0), (1, 0), (0, 0)))
+    ev = p[:, 0::2]
+    od = p[:, 1::2]
+    s = ev + od + jnp.pad(od[:, :-1], ((0, 0), (1, 0), (0, 0), (0, 0)))
+    h2, w2 = s.shape[1], s.shape[2]
+    rows = jnp.full((h2,), 3.0, jnp.float32).at[0].set(2.0)
+    cols = jnp.full((w2,), 3.0, jnp.float32).at[0].set(2.0)
+    inv = (1.0 / (rows[:, None] * cols[None, :]))[None, :, :, None]
+    return (s.astype(jnp.float32) * inv).astype(x.dtype)
+
+
+def avg_pool_3x3s2(x):
+    """torch.nn.AvgPool2d(kernel=3, stride=2, padding=1,
+    count_include_pad=False) — the multiscale-D inter-scale downsampler
+    (SURVEY.md §3.2 MultiscaleDiscriminator)."""
+    h, w = x.shape[1], x.shape[2]
+    if _POOL_IMPL == "slices" and h % 2 == 0 and w % 2 == 0:
+        return _avg_pool_3x3s2_slices(x)
+    return _avg_pool_3x3s2_reduce_window(x)
 
 
 def _mp2_forward(x):
