@@ -34,9 +34,32 @@ import time
 import numpy as np
 
 
+def _wait_for_backend(jax, sleep_s=60):
+    """The axon TPU claim can transiently fail UNAVAILABLE (pool busy /
+    stale grant from a killed process, ~20 min observed to clear). jax
+    caches a failed backend init for the life of the process, so retry
+    by RE-EXECING this script in a fresh process (bounded by
+    HIMAN_BENCH_CLAIM_RETRIES, default 3) rather than looping in-process
+    — a transient outage must not zero the round's bench artifact."""
+    import sys
+
+    try:
+        return jax.devices()
+    except RuntimeError as e:
+        left = int(os.environ.get("HIMAN_BENCH_CLAIM_RETRIES", "3"))
+        if left <= 0:
+            raise
+        print(f"[bench] backend unavailable ({e}); re-exec, "
+              f"{left - 1} retries left", flush=True)
+        time.sleep(sleep_s)
+        os.environ["HIMAN_BENCH_CLAIM_RETRIES"] = str(left - 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
+
 def main():
     import jax
 
+    _wait_for_backend(jax)
     # persistent compile cache: the full-step XLA compile takes ~18 min
     # over the axon tunnel cold, ~3 min warm
     jax.config.update(
