@@ -62,6 +62,21 @@ def load_bbox_records(path: str) -> List[Dict]:
         return json.load(f)
 
 
+def _scaled_box(bbox, wy0, wx0, wh, ww, s):
+    """Object box in window coordinates scaled to the fixed ``s`` crop —
+    the ONE rule shared by the streaming BboxCropDataset and the
+    device-resident loader so their ``boxes`` tensors are bit-identical.
+    bh/bw are deliberately UNclamped at the window edge: every
+    rasterizer (numpy boxmask here, ops.boxcomposite.box_mask on device)
+    clamps geometrically, and downstream consumers see the true scaled
+    extent."""
+    y0, x0, h, w = bbox
+    sy, sx = s / wh, s / ww
+    by0 = int(np.clip((y0 - wy0) * sy, 0, s - 1))
+    bx0 = int(np.clip((x0 - wx0) * sx, 0, s - 1))
+    return by0, bx0, max(int(h * sy), 1), max(int(w * sx), 1)
+
+
 def _context_window(bbox, hw, margin, out_size):
     """Square context window — the shared canonical rule (see
     ops.boxcomposite.context_window_math; host-vs-device equality is
@@ -145,12 +160,7 @@ class BboxCropDataset:
         inst_win = crop_resize_nearest(inst)
 
         # object box in window coords, scaled to the fixed crop
-        y0, x0, h, w = rec["bbox"]
-        sy, sx = s / wh, s / ww
-        by0 = int(np.clip((y0 - wy0) * sy, 0, s - 1))
-        bx0 = int(np.clip((x0 - wx0) * sx, 0, s - 1))
-        bh = max(int(h * sy), 1)
-        bw = max(int(w * sx), 1)
+        by0, bx0, bh, bw = _scaled_box(rec["bbox"], wy0, wx0, wh, ww, s)
         boxmask = np.zeros((s, s, 1), np.float32)
         boxmask[by0 : min(by0 + bh, s), bx0 : min(bx0 + bw, s)] = 1.0
 

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from typing import Dict
 
 import numpy as np
@@ -103,6 +104,7 @@ class AlignedDataset:
         self._ram_budget = int(getattr(opt, "ram_cache_mb", 0)) * 1_000_000
         self._ram: Dict[str, tuple] = {}
         self._ram_bytes = 0
+        self._ram_lock = threading.Lock()
 
     def _open(self, path):
         if self._ram_budget > 0:
@@ -117,9 +119,17 @@ class AlignedDataset:
             img.load()
         if self._ram_budget > 0 and img.mode != "P":
             arr = np.asarray(img)
-            if self._ram_bytes + arr.nbytes <= self._ram_budget:
-                self._ram[path] = (arr, img.mode)
-                self._ram_bytes += arr.nbytes
+            # check-then-insert under a lock: the loader's thread pool can
+            # race two workers on the same path, double-counting nbytes
+            # (the stale counter then starves the cache for the process
+            # lifetime) and overshooting the budget
+            with self._ram_lock:
+                if (
+                    path not in self._ram
+                    and self._ram_bytes + arr.nbytes <= self._ram_budget
+                ):
+                    self._ram[path] = (arr, img.mode)
+                    self._ram_bytes += arr.nbytes
         return img
 
     def set_epoch(self, epoch: int) -> None:

@@ -154,6 +154,21 @@ class DeviceResidentLoader:
         stacked = {
             k: np.stack([s[k] for s in samples]) for k in samples[0]
         }
+        opt = self.dataset.opt
+        if "crop" in getattr(opt, "resize_or_crop", "none") and self.fine > 0:
+            h, w = stacked["label"].shape[1:3]
+            if (h > self.fine or w > self.fine) and (h < self.fine or w < self.fine):
+                # host semantics (transforms._crop): when either dim exceeds
+                # fineSize, PIL .crop() emits a fineSize square, zero-padding
+                # past the short dim. Pad bottom/right before upload so the
+                # on-device dynamic_slice matches (and doesn't fault on a
+                # slice size larger than the array).
+                ph, pw = max(self.fine - h, 0), max(self.fine - w, 0)
+                for k, v in stacked.items():
+                    pads = ((0, 0), (0, ph), (0, pw)) + (
+                        ((0, 0),) if v.ndim == 4 else ()
+                    )
+                    stacked[k] = np.pad(v, pads)
         nbytes = sum(v.nbytes for v in stacked.values())
         print(
             f"[device-resident] uploading {n} samples, "
@@ -292,19 +307,14 @@ class DeviceResidentBboxLoader:
             base["image"] = np.stack(imgs)
         hw = base["label"].shape[1:3]
 
-        from .bbox import _context_window
+        from .bbox import _context_window, _scaled_box
 
         win, box, iidx, cls, inst_id = [], [], [], [], []
         for rec in ds.records:
             wy0, wx0, wh, ww = _context_window(rec["bbox"], hw, ds.margin, ds.size)
             win.append((wy0, wx0, wh, ww))
-            y0, x0, h, w = rec["bbox"]
-            sy, sx = ds.size / wh, ds.size / ww
-            by0 = int(np.clip((y0 - wy0) * sy, 0, ds.size - 1))
-            bx0 = int(np.clip((x0 - wx0) * sx, 0, ds.size - 1))
-            bh = min(max(int(h * sy), 1), ds.size - by0)
-            bw = min(max(int(w * sx), 1), ds.size - bx0)
-            box.append((by0, bx0, bh, bw))
+            # shared rule => `boxes` bit-identical to the streaming loader
+            box.append(_scaled_box(rec["bbox"], wy0, wx0, wh, ww, ds.size))
             iidx.append(rec["image_index"])
             cls.append(rec["cls"])
             inst_id.append(rec["inst_id"])

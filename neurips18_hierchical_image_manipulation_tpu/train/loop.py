@@ -108,7 +108,9 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
 
     from .prefetch import device_prefetch
 
-    prefetch_depth = getattr(opt, "device_prefetch", 2)
+    # default matches configs/options.py: 0 (synchronous) — threaded
+    # staging measured SLOWER on the 1-core axon host (57.1 vs 54.7)
+    prefetch_depth = getattr(opt, "device_prefetch", 0)
 
     def _stage(host_batch):
         b = _device_batch(host_batch)

@@ -39,14 +39,31 @@ def device_prefetch(
         return
 
     q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that aborts when the consumer is gone — a plain
+        # q.put would block forever on a full queue after abandonment,
+        # leaving a zombie thread staging H2D batches for the rest of
+        # the epoch and pinning `depth` device batches
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for hb in host_iter:
-                q.put((put_fn(hb), hb))
-            q.put(_SENTINEL)
+                if stop.is_set():
+                    return
+                if not _put((put_fn(hb), hb)):
+                    return
+            _put(_SENTINEL)
         except BaseException as e:  # noqa: BLE001 — re-raised on the consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=worker, daemon=True, name="himan-h2d-prefetch")
     t.start()
@@ -59,11 +76,14 @@ def device_prefetch(
                 raise item
             yield item
     finally:
-        # Unblock the worker if the consumer abandons the iterator early
-        # (e.g. an exception in the train step): drain without processing.
+        # Stop the worker if the consumer abandons the iterator early
+        # (e.g. an exception in the train step), then drain so its
+        # in-flight put unblocks.
+        stop.set()
         if t.is_alive():
             try:
                 while True:
                     q.get_nowait()
             except queue.Empty:
                 pass
+            t.join(timeout=5.0)

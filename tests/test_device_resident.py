@@ -240,3 +240,72 @@ def test_shuffle_is_seeded(dataroot, tmp_path):
     b = DeviceResidentLoader(ds, batch_size=2, shuffle=True, seed=5)
     for ba, bb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(ba["label"]), np.asarray(bb["label"]))
+
+
+def test_crop_pads_when_resize_below_fine(dataroot, tmp_path):
+    """scale_width leaves h=64 < fineSize=96 < w=128: the host pipeline's
+    PIL crop emits a 96x96 square zero-padded past row 64; the resident
+    loader must match shape + pad content instead of faulting on a
+    dynamic_slice larger than the stored array (pre-fix crash)."""
+    opt = opt_for(
+        dataroot,
+        tmp_path,
+        resize_or_crop="scale_width_and_crop",
+        loadSize=128,
+        fineSize=96,
+        uint8_transfer=True,
+    )
+    ds = AlignedDataset(opt)
+    hb = next(iter(DataLoader(ds, batch_size=2, shuffle=False, num_threads=1)))
+    rb = next(iter(DeviceResidentLoader(ds, batch_size=2, shuffle=False)))
+    for k in ("label", "inst", "image"):
+        assert np.asarray(rb[k]).shape == hb[k].shape, k
+        # rows >= 64 are PIL's out-of-bounds zero fill on host; the
+        # resident pre-upload pad must reproduce them
+        np.testing.assert_array_equal(
+            np.asarray(rb[k])[:, 64:], np.zeros_like(hb[k][:, 64:]), err_msg=k
+        )
+        np.testing.assert_array_equal(hb[k][:, 64:], np.zeros_like(hb[k][:, 64:]))
+
+
+def test_scaled_box_unclamped_at_window_edge():
+    """The shared _scaled_box rule keeps bh/bw unclamped (streaming-loader
+    semantics): a box extending past the context window keeps its true
+    scaled extent; rasterizers clamp geometrically."""
+    from neurips18_hierchical_image_manipulation_tpu.data.bbox import _scaled_box
+
+    # window 64 wide at scale 0.5 (s=32); object y-extent runs past the
+    # window bottom
+    by0, bx0, bh, bw = _scaled_box((40, 8, 60, 16), 16, 0, 64, 64, 32)
+    assert (by0, bx0) == (12, 4)
+    assert bh == 30  # NOT clamped to 32 - 12 = 20
+    assert bw == 8
+
+
+def test_prefetch_worker_stops_on_abandonment():
+    """Abandoning the prefetch iterator must stop the staging thread —
+    pre-fix it kept calling put_fn for the whole remaining epoch, then
+    blocked forever holding `depth` staged batches."""
+    import threading
+    import time as _time
+
+    from neurips18_hierchical_image_manipulation_tpu.train.prefetch import (
+        device_prefetch,
+    )
+
+    staged = []
+
+    def put_fn(b):
+        staged.append(b)
+        return b
+
+    it = device_prefetch(iter(range(1000)), put_fn, depth=2)
+    assert next(it)[0] == 0
+    it.close()  # abandon: generator finally runs (stop + drain + join)
+    n_after_close = len(staged)
+    _time.sleep(0.5)
+    assert len(staged) == n_after_close  # no further staging
+    assert not any(
+        t.name == "himan-h2d-prefetch" and t.is_alive()
+        for t in threading.enumerate()
+    )
