@@ -48,17 +48,28 @@ def kmeans(x: np.ndarray, k: int, iters: int = 50, seed: int = 0):
 
 
 def encode_dataset_features(model, params, loader, max_batches=10_000):
-    """-> dict class_id -> list of feature vectors (one per instance)."""
+    """-> dict class_id -> list of feature vectors (one per instance).
+
+    Matches the training-time _instance_features contract exactly:
+    images normalized to [-1,1] (the loader may emit raw uint8 under
+    --uint8_transfer) and the pooling segmentation chosen by the same
+    instance_feat/label_feat rule — clusters must be built over the
+    same (image range, segmentation) the conditioning samples them for."""
     feats: Dict[int, List[np.ndarray]] = {}
+    use_inst = bool(getattr(model.opt, "instance_feat", False))
     enc = jax.jit(
-        lambda p, img, inst: model.netE.apply(p["E"], img, inst)
+        lambda p, img, seg: model.netE.apply(p["E"], img, seg)
     )
     for bi, host_batch in enumerate(loader):
         if bi >= max_batches:
             break
-        img = jnp.asarray(host_batch["image"])
-        inst = jnp.asarray(host_batch["inst"])
-        fmap = np.asarray(enc(params, img, inst))  # (B,H,W,F)
+        img = np.asarray(host_batch["image"])
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 127.5 - 1.0
+        seg = host_batch["inst"] if use_inst else host_batch["label"]
+        fmap = np.asarray(
+            enc(params, jnp.asarray(img), jnp.asarray(seg))
+        )  # (B,H,W,F)
         inst_np = np.asarray(host_batch["inst"])
         for b in range(fmap.shape[0]):
             for iid in np.unique(inst_np[b]):

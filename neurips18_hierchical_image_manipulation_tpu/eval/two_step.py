@@ -82,17 +82,19 @@ class TwoStepPipeline:
             "boxmask": boxmask,
             "cls": cls_for_g,
         }
-        merged_probs, obj_mask = self.b2m.inference(b2m_params, b2m_batch)
-        if mode == "remove":
-            ctx_ids = jnp.argmax(merged_probs, axis=-1)
-            pred_win_ids = jnp.where(
-                boxmask[..., 0] > 0, ctx_ids, label_win
-            ).astype(jnp.int32)
-        else:
-            pred_ids = jnp.argmax(merged_probs, axis=-1)
-            pred_win_ids = jnp.where(
-                boxmask[..., 0] > 0, pred_ids, label_win
-            ).astype(jnp.int32)
+        merged_probs, obj_mask, ctx_probs = self.b2m.inference(
+            b2m_params, b2m_batch, return_ctx=True
+        )
+        # remove-mode fill comes from the CONTEXT stream directly: merged
+        # = ctx*(1-m) under the null class, which is the all-zeros vector
+        # wherever sigmoid(mask_logit) saturates to exactly 1.0 — argmax
+        # there would tie to class 0 ('unlabeled') instead of the context
+        # prediction. (For m < 1 the positive (1-m) scale never changes
+        # the per-pixel argmax, so this matches merged everywhere else.)
+        fill_probs = ctx_probs if mode == "remove" else merged_probs
+        pred_win_ids = jnp.where(
+            boxmask[..., 0] > 0, jnp.argmax(fill_probs, axis=-1), label_win
+        ).astype(jnp.int32)
 
         # 4. paste layout back into the full-res label map (box region only)
         full_pred = boxcomposite.paste_resize(
@@ -157,9 +159,27 @@ class TwoStepPipeline:
             boxcomposite.box_mask(boxes, hw) > 0, pasted, image
         )
 
+        # full-res edited instance map, same convention as the window
+        # conditioning: label ids inside the edited box (stuff keeps
+        # id==label continuity), a fresh synthetic thing-id for the added
+        # object, untouched real ids outside. Chained edits (swap) must
+        # consume THIS, not the original inst — the stale map still
+        # carries the removed object's id and would paint its ghost
+        # outline into the next pass's edge conditioning.
+        box_m = boxcomposite.box_mask(boxes, hw)[..., 0] > 0
+        inside_full = completed_label
+        if mode != "remove":
+            inside_full = jnp.where(
+                box_m & (completed_label == cls[:, None, None]),
+                cls[:, None, None] * 1000 + 999,
+                inside_full,
+            )
+        edited_inst = jnp.where(box_m, inside_full, inst)
+
         return {
             "completed_label": completed_label,
             "edited_image": edited,
+            "edited_inst": edited_inst,
             "window_layout": pred_win_ids,
             "window_inst": inst_m2i,
             "window_rgb": fake_win,
@@ -175,12 +195,15 @@ class TwoStepPipeline:
         return self.manipulate(image, label, inst, boxes, cls, mode="remove")
 
     def swap_object(self, image, label, inst, old_boxes, new_boxes, cls):
-        """Move/swap = remove at the old box, then add at the new box."""
+        """Move/swap = remove at the old box, then add at the new box.
+        The add pass consumes the remove pass's edited_inst so the
+        deleted object's instance id (and thus its edge conditioning)
+        is gone from the second window."""
         removed = self.remove_object(image, label, inst, old_boxes)
         return self.manipulate(
             removed["edited_image"],
             removed["completed_label"],
-            inst,
+            removed["edited_inst"],
             new_boxes,
             cls,
             mode="add",

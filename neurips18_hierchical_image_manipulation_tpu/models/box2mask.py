@@ -53,10 +53,15 @@ class BoxToMaskModel:
                 norm=self.opt.norm,
             )
         if self.netD is None and self.opt.isTrain:
+            # get_interm_feat stays False: box2mask trains on CE + obj-BCE
+            # + adversarial ONLY (no feature-matching term — the
+            # reference's structure-generator objective; --no_ganFeat_loss
+            # governs the mask2image model). Returning interm features
+            # here would imply FM supervision losses() never computes.
             self.netD = networks.LayoutDiscriminator(
                 ndf=self.opt.ndf,
                 n_layers=self.opt.n_layers_D,
-                get_interm_feat=not self.opt.no_ganFeat_loss,
+                get_interm_feat=False,
                 norm=self.opt.norm,
             )
 
@@ -123,10 +128,19 @@ class BoxToMaskModel:
         }
         return total, (metrics, merged)
 
-    def inference(self, params, batch):
-        """Returns (merged layout probs, object mask probs)."""
+    def inference(self, params, batch, return_ctx=False):
+        """Returns (merged layout probs, object mask probs[, ctx probs]).
+
+        ``return_ctx=True`` also returns the context stream's softmax —
+        needed by remove-mode fills: merged = ctx*(1-m) is all-zeros
+        wherever the object mask saturates to exactly 1.0 (null class
+        vector contributes nothing), so argmax(merged) there ties to
+        class 0 ('unlabeled') instead of the context prediction."""
         masked_oh, boxmask, cls_oh = self.encode_input(batch)
         layout_logits, mask_logit, merged = self.netG.apply(
             params["G"], masked_oh, boxmask, cls_oh
         )
-        return merged, jax.nn.sigmoid(mask_logit) * boxmask
+        obj = jax.nn.sigmoid(mask_logit) * boxmask
+        if return_ctx:
+            return merged, obj, jax.nn.softmax(layout_logits, axis=-1)
+        return merged, obj

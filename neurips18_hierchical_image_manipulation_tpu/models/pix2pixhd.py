@@ -197,7 +197,13 @@ class Pix2PixHDModel:
         params = {}
         if self.netE is not None:
             seg = batch["inst"] if getattr(self.opt, "instance_feat", False) else batch["label"]
-            params["E"] = self.netE.init(ke, batch["image"], seg)
+            img = batch["image"]
+            if img.dtype == jnp.uint8:
+                # mirror encode_input's on-device normalize: init must see
+                # the same float range the apply path does (raw uint8 would
+                # crash lax conv under --uint8_transfer)
+                img = img.astype(jnp.float32) / 127.5 - 1.0
+            params["E"] = self.netE.init(ke, img, seg)
         g_input, cond, real = self.encode_input(
             batch, params=params if self.netE is not None else None
         )

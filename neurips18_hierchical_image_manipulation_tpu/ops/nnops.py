@@ -1120,11 +1120,16 @@ def segment_mean_2d(feat, seg_ids, num_segments):
     flat_ids = seg_ids.reshape(n, h * w)
 
     def per_image(f, ids):
-        sums = jax.ops.segment_sum(f, ids, num_segments=num_segments)
+        # accumulate in f32 regardless of compute dtype: a bf16 running
+        # sum saturates at 256 (256+1 rounds back to 256), so counts for
+        # any >256-px instance (road/sky/building are 10k-100k px) stall
+        # and the means come out wrong by large factors
+        f32 = f.astype(jnp.float32)
+        sums = jax.ops.segment_sum(f32, ids, num_segments=num_segments)
         counts = jax.ops.segment_sum(
-            jnp.ones((f.shape[0],), f.dtype), ids, num_segments=num_segments
+            jnp.ones((f.shape[0],), jnp.float32), ids, num_segments=num_segments
         )
-        means = sums / jnp.maximum(counts, 1.0)[:, None]
+        means = (sums / jnp.maximum(counts, 1.0)[:, None]).astype(f.dtype)
         return means[ids]
 
     out = jax.vmap(per_image)(flat_feat, flat_ids)

@@ -72,6 +72,17 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
 
     compute_dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else None
     pool = None
+    if getattr(opt, "pool_size", 0) > 0 and mesh is not None:
+        # the pooled split-step path is host-synchronous (fake replay
+        # buffer round-trips every step) and plain-jit; silently taking it
+        # would bypass the DP shard_map/psum step while _stage still
+        # shards batches — fail loudly instead
+        raise ValueError(
+            "--pool_size > 0 is incompatible with multi-chip training "
+            "(mesh): the image-pool replay is a host-side buffer. Use "
+            "pool_size=0 on a mesh (the reference's pool is also "
+            "single-process-only)."
+        )
     if getattr(opt, "pool_size", 0) > 0 and hasattr(model, "d_losses"):
         # split G/D steps with a host-side fake replay buffer (C20)
         from ..utils.image_pool import ImagePool
@@ -120,9 +131,16 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
 
     for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
         epoch_start = time.time()
+        # mid-epoch resume: iter.txt's second field counts completed
+        # batches of start_epoch — skip them so resumed training doesn't
+        # replay already-seen batches (and desync the optax step count
+        # from the epoch bookkeeping)
+        skip = epoch_iter0 if epoch == start_epoch else 0
         for i, (batch, host_batch) in enumerate(
             device_prefetch(loader, _stage, prefetch_depth)
         ):
+            if i < skip:
+                continue
             iter_start = time.time()
             with trace(profile_dir if total_steps == 20 else None):
                 state, metrics, fake = step_fn(state, batch)

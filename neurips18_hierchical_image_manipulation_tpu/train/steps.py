@@ -29,6 +29,20 @@ def _cast_floats(tree, dtype):
     return jax.tree.map(cast, tree)
 
 
+# batch keys holding pixel COORDINATES (integers stored as f32): excluded
+# from the compute-dtype cast — bf16's ulp is 2 in [256,512) and 4 in
+# [512,1024), so casting would shift box edges by pixels and desync the
+# masked-RGB conditioning from the GT box (and from f32 inference)
+_COORD_KEYS = frozenset({"boxes"})
+
+
+def _cast_batch(batch, dtype):
+    return {
+        k: (v if k in _COORD_KEYS else _cast_floats(v, dtype))
+        for k, v in batch.items()
+    }
+
+
 def _make_loss_fn(model, vgg_params, compute_dtype):
     """Mixed-precision GAN objective: master params stay fp32; under a bf16
     policy params+batch are cast at the step boundary so every conv runs
@@ -41,7 +55,7 @@ def _make_loss_fn(model, vgg_params, compute_dtype):
     def loss_fn(params, batch, rng=None):
         if compute_dtype is not None and compute_dtype != jnp.float32:
             params = _cast_floats(params, compute_dtype)
-            batch = _cast_floats(batch, compute_dtype)
+            batch = _cast_batch(batch, compute_dtype)
             vgg = _cast_floats(vgg_params, compute_dtype) if vgg_params else None
         else:
             vgg = vgg_params
@@ -82,7 +96,7 @@ def make_pooled_train_steps(model, vgg_params=None, compute_dtype=None):
     def cast_in(params, batch, vgg):
         if compute_dtype is not None and compute_dtype != jnp.float32:
             params = _cast_floats(params, compute_dtype)
-            batch = _cast_floats(batch, compute_dtype)
+            batch = _cast_batch(batch, compute_dtype)
             vgg = _cast_floats(vgg, compute_dtype) if vgg else None
         return params, batch, vgg
 

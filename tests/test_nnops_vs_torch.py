@@ -245,3 +245,23 @@ def test_convt_phase_bwd_matches_adjoint_grads():
             np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=5e-5, rtol=1e-5)
     finally:
         nnops.set_default_precision("highest")
+
+
+def test_segment_mean_bf16_large_regions():
+    """Counts/sums must accumulate in f32: a bf16 running count saturates
+    at 256, so any >256-px instance (road/sky are 10k-100k px) got wrong
+    means under the bf16 training policy."""
+    import jax.numpy as jnp2
+
+    rng = np.random.RandomState(0)
+    h, w = 40, 40  # one segment of 1600 px >> 256
+    feat = rng.randn(1, h, w, 3).astype(np.float32)
+    seg = np.zeros((1, h, w), np.int32)
+    ref = np.asarray(
+        ops.segment_mean_2d(jnp2.asarray(feat), jnp2.asarray(seg), 4)
+    )
+    got = np.asarray(
+        ops.segment_mean_2d(jnp2.asarray(feat, jnp2.bfloat16), jnp2.asarray(seg), 4)
+    ).astype(np.float32)
+    # bf16 inputs: means agree with the f32 reference to bf16 resolution
+    np.testing.assert_allclose(got, ref, atol=2e-2, rtol=2e-2)

@@ -72,3 +72,34 @@ def test_two_step_demo_cli(dataroot, tmp_path):
     ])
     out = os.path.join(str(tmp_path), "results", "demo", "index.html")
     assert os.path.exists(out)
+
+
+def test_mid_epoch_resume_skips_seen_batches(dataroot, tmp_path):
+    """iter.txt's (epoch, iter) must fast-forward the resumed epoch:
+    pre-fix the saved iter was ignored and the whole epoch replayed,
+    desyncing the optax step count from the epoch bookkeeping."""
+    import re
+
+    from neurips18_hierchical_image_manipulation_tpu.cli import box2mask_train
+
+    flags = common_flags(dataroot, tmp_path, "midresume") + [
+        "--fineSize", "32", "--min_box_size", "4",
+        "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "1", "--display_freq", "1000",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--no_vgg_loss", "--batchSize", "1", "--serial_batches",
+    ]
+    box2mask_train.main(flags)
+    run_dir = os.path.join(str(tmp_path), "ckpt", "midresume")
+    log1 = open(os.path.join(run_dir, "loss_log.txt")).read()
+    n_total = len(re.findall(r"\(epoch: 1,", log1))
+    assert n_total >= 2  # enough batches to make skipping observable
+
+    # pretend we stopped mid-epoch after 1 iter of epoch 1
+    with open(os.path.join(run_dir, "iter.txt"), "w") as f:
+        f.write("1,1")
+    box2mask_train.main(flags + ["--continue_train"])
+    log2 = open(os.path.join(run_dir, "loss_log.txt")).read()
+    n_after = len(re.findall(r"\(epoch: 1,", log2)) - n_total
+    # resumed epoch 1 ran only the unseen tail (total - 1 skipped)
+    assert n_after == n_total - 1

@@ -244,3 +244,19 @@ def test_dp_step_matches_single_device_full_loss(rng):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4
             )
+
+
+def test_cast_batch_preserves_box_coordinates():
+    """bf16's ulp is 2 in [256,512): casting the f32 boxes tensor would
+    shift box edges by pixels and desync the masked-RGB conditioning
+    from the GT box — coordinates are excluded from the compute cast."""
+    from neurips18_hierchical_image_manipulation_tpu.train.steps import _cast_batch
+
+    batch = {
+        "image": jnp.ones((1, 4, 4, 3), jnp.float32),
+        "boxes": jnp.asarray([[301.0, 417.0, 33.0, 57.0]], jnp.float32),
+    }
+    out = _cast_batch(batch, jnp.bfloat16)
+    assert out["image"].dtype == jnp.bfloat16
+    assert out["boxes"].dtype == jnp.float32
+    np.testing.assert_array_equal(np.asarray(out["boxes"]), np.asarray(batch["boxes"]))

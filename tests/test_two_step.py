@@ -164,3 +164,45 @@ def test_remove_mode_null_class(pipeline, rng):
     boxes = jnp.asarray([[20.0, 30.0, 24.0, 24.0]])
     out = pipeline.remove_object(image, label, inst, boxes)
     assert np.isfinite(np.asarray(out["edited_image"])).all()
+
+
+def test_inference_return_ctx_consistency(pipeline, rng):
+    """merged == ctx*(1-m) + onehot(cls)*m — the return_ctx seam exposes
+    the context stream remove-mode fills argmax (merged alone is the
+    all-zeros vector where m saturates to 1 under the null class, whose
+    argmax would tie to class 0)."""
+    b2m = pipeline.b2m
+    batch = {
+        "masked_layout": jnp.asarray(rng.randint(0, 8, (1, 32, 32)), jnp.int32),
+        "boxmask": jnp.ones((1, 32, 32, 1), jnp.float32),
+        "cls": jnp.asarray([3], jnp.int32),
+    }
+    merged, obj, ctx = b2m.inference(pipeline.b2m_params, batch, return_ctx=True)
+    cls_map = jax.nn.one_hot(3, 8)[None, None, None, :]
+    recon = ctx * (1.0 - obj) + cls_map * obj
+    np.testing.assert_allclose(np.asarray(merged), np.asarray(recon), atol=1e-5)
+    # ctx is a proper softmax
+    np.testing.assert_allclose(
+        np.asarray(ctx.sum(-1)), np.ones((1, 32, 32)), atol=1e-5
+    )
+
+
+def test_swap_consumes_edited_inst(pipeline, rng):
+    """The remove pass's edited_inst erases the removed object's instance
+    id inside the old box (stuff continuity: ids == completed label
+    there), so the chained add pass can't see a ghost edge."""
+    image, label, inst = make_scene(rng)
+    # plant a thing-id blob fully inside the box we remove
+    inst = np.asarray(inst).copy()
+    inst[0, 14:22, 14:26] = 5 * 1000 + 7
+    inst = jnp.asarray(inst)
+    boxes = jnp.asarray([[10.0, 10.0, 16.0, 20.0]])
+    out = pipeline.remove_object(image, label, inst, boxes)
+    ei = np.asarray(out["edited_inst"])[0]
+    assert (ei[10:26, 10:30] != 5 * 1000 + 7).all()
+    # inside the box: ids follow the completed label (stuff continuity)
+    np.testing.assert_array_equal(
+        ei[10:26, 10:30], np.asarray(out["completed_label"])[0, 10:26, 10:30]
+    )
+    # outside: untouched real ids
+    np.testing.assert_array_equal(ei[:10], np.asarray(inst)[0, :10])
