@@ -103,9 +103,13 @@ class BboxCropDataset:
         # dataset would desynchronize boxes from pixels — flips would
         # mirror the image but not the stored box. (Flip augmentation, if
         # wanted, belongs here where crop and box can flip together.)
+        import copy as _copy
         import dataclasses as _dc
 
-        base_opt = _dc.replace(opt) if _dc.is_dataclass(opt) else opt
+        # always a COPY: mutating a shared (non-dataclass) opt here would
+        # corrupt the caller's flags (e.g. flip no_instance before
+        # create_model(opt) runs)
+        base_opt = _dc.replace(opt) if _dc.is_dataclass(opt) else _copy.copy(opt)
         base_opt.no_instance = False
         base_opt.no_flip = True
         if "crop" in getattr(base_opt, "resize_or_crop", ""):

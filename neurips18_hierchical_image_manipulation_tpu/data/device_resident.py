@@ -90,7 +90,8 @@ def _sample_batch(data, idx, key, fine, do_crop, do_flip, as_float):
 
         batch = {k: flip_one(v) for k, v in batch.items()}
     if as_float:
-        batch["image"] = batch["image"].astype(jnp.float32) / 127.5 - 1.0
+        if "image" in batch:  # label-only dataroots have no image planes
+            batch["image"] = batch["image"].astype(jnp.float32) / 127.5 - 1.0
         batch["label"] = batch["label"].astype(jnp.int32)
         batch["inst"] = batch["inst"].astype(jnp.int32)
     return batch

@@ -82,10 +82,17 @@ def extract_bboxes(inst: np.ndarray, min_id: int = 1000, max_records: int = 256)
     lib = _load()
     inst = np.ascontiguousarray(inst, np.int32)
     if lib is not None:
-        out = np.zeros((max_records, 6), np.int32)
-        n = lib.himan_extract_bboxes(
-            inst, inst.shape[0], inst.shape[1], min_id, out, max_records
-        )
+        # n == cap means the C++ writer may have truncated (it caps the
+        # write loop, not the scan): grow the buffer and retry so the
+        # native tier returns the same record set as the numpy fallback
+        while True:
+            out = np.zeros((max_records, 6), np.int32)
+            n = lib.himan_extract_bboxes(
+                inst, inst.shape[0], inst.shape[1], min_id, out, max_records
+            )
+            if n < max_records:
+                break
+            max_records *= 4
         recs = out[:n]
         order = np.argsort(recs[:, 0], kind="stable")
         return [

@@ -156,7 +156,7 @@ _CONVT_PHASE_BWD = _os.environ.get("HIMAN_CONVT_PHASE_BWD", "0") == "1"
 
 def set_conv_transpose_impl(impl: str):
     global _CONVT_IMPL
-    assert impl in ("adjoint", "subpixel", "auto"), impl
+    assert impl in ("adjoint", "subpixel", "d2s", "auto"), impl
     _CONVT_IMPL = impl
 
 
@@ -708,7 +708,7 @@ def instance_norm_packed(x2, c, *, eps=1e-5):
     return ((xn - mean4) * rstd4).astype(x2.dtype)
 
 
-def mask_packed_border(x2, c, drop_first_phase_row=True, drop_last_phase_row=True):
+def mask_packed_border(x2, c):
     """Zero the half-phase border of a packed tensor whose grid covers one
     original pixel beyond the image on each side ("grid B": block i holds
     originals (2i-1, 2i)). Zeroes (row 0, phase 0), (last row, phase 1)
@@ -772,38 +772,9 @@ def conv2d_s2d(x, w, b=None, *, stride=1, precision=None):
         return z
 
     if stride == 1:
-        ka = (kh + 2) // 2  # s2d kernel extent: phases p + taps 0..k-1 span 2a+r
-        # W'[a,b, (r,s)·ci, (p,q)·co] = w[2a+r-p, 2b+s-q]
-        rows = []
-        for a in range(ka):
-            row = []
-            for bb in range(ka):
-                m = jnp.stack(
-                    [
-                        jnp.stack(
-                            [
-                                jnp.stack(
-                                    [
-                                        jnp.stack(
-                                            [tap(2 * a + r - p, 2 * bb + s - q) for q in range(2)],
-                                            0,
-                                        )
-                                        for p in range(2)
-                                    ],
-                                    0,
-                                )
-                                for s in range(2)
-                            ],
-                            0,
-                        )
-                        for r in range(2)
-                    ],
-                    0,
-                )  # (r, s, p, q, ci, co)
-                m = m.transpose(0, 1, 4, 2, 3, 5).reshape(4 * ci, 4 * co)
-                row.append(m)
-            rows.append(jnp.stack(row, 0))
-        wp_k = jnp.stack(rows, 0)  # (ka, ka, 4ci, 4co)
+        # W'[a,b, (r,s)·ci, (p,q)·co] = w[2a+r-p, 2b+s-q] — the ONE
+        # builder shared with the packed-stem path
+        wp_k = _s2d_kernel_s1_valid(w)  # (ka, ka, 4ci, 4co)
         ys = lax.conv_general_dilated(
             xs, wp_k, window_strides=(1, 1), padding="VALID",
             dimension_numbers=_DIMNUMS, precision=prec,

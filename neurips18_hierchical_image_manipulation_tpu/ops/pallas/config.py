@@ -64,10 +64,6 @@ def set_loss_kernels(flag: bool) -> None:
     _LOSS_KERNELS = bool(flag)
 
 
-def _backend_ok(interpret: bool) -> bool:
-    return interpret or jax.default_backend() == "tpu"
-
-
 def enabled() -> bool:
     if not _ENABLED:
         return False

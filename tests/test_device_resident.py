@@ -309,3 +309,18 @@ def test_prefetch_worker_stops_on_abandonment():
         t.name == "himan-h2d-prefetch" and t.is_alive()
         for t in threading.enumerate()
     )
+
+
+def test_resident_loader_without_image_dir(dataroot, tmp_path):
+    """Label-only dataroots (no {phase}_img) must work in float mode —
+    pre-fix _sample_batch crashed with KeyError 'image'."""
+    import shutil
+
+    root2 = os.path.join(str(tmp_path), "city_noimg")
+    shutil.copytree(dataroot, root2)
+    shutil.rmtree(os.path.join(root2, "train_img"))
+    opt = opt_for(root2, tmp_path, uint8_transfer=False)
+    ds = AlignedDataset(opt)
+    rb = next(iter(DeviceResidentLoader(ds, batch_size=2, shuffle=False)))
+    assert "image" not in rb
+    assert np.asarray(rb["label"]).dtype == np.int32

@@ -58,3 +58,19 @@ def test_box_mask(rng):
     assert m.shape == (10, 12, 1)
     assert m.sum() == 20
     assert m[2, 3, 0] == 1.0 and m[6, 3, 0] == 0.0
+
+
+def test_extract_bboxes_beyond_default_cap(rng):
+    """The C++ writer caps its output buffer; the wrapper must grow and
+    retry so dense maps (>256 things) return the full record set like
+    the numpy fallback (pre-fix: silent hash-order truncation)."""
+    h, w = 40, 40
+    inst = np.zeros((h, w), np.int32)
+    # 400 single-pixel objects with thing-ids
+    ids = 26_000 + np.arange(400)
+    ys, xs = np.divmod(np.arange(400), w)
+    inst[ys, xs] = ids
+    recs = native.extract_bboxes(inst)
+    assert len(recs) == 400
+    got_ids = sorted(r["inst_id"] for r in recs)
+    assert got_ids == sorted(int(i) for i in ids)
