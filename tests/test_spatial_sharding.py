@@ -27,3 +27,38 @@ def test_halo_conv_matches_unsharded(rng, k, pad):
     fn = make_spatial_conv(mesh, w, b, padding=pad)
     got = fn(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_halo_conv_on_2d_mesh_dp_x_spatial(rng):
+    """DP x spatial composition on a 2-D (data=2, spatial=4) mesh: batch
+    sharded on 'data', W sharded on 'spatial', halos exchanged along the
+    spatial axis only — equals the unsharded conv. Demonstrates the §6.7
+    escape hatch composing with the production data axis (the >2K-res
+    deployment shape)."""
+    from jax.sharding import PartitionSpec as P
+
+    from neurips18_hierchical_image_manipulation_tpu.parallel.spatial import (
+        halo_exchange_conv2d,
+    )
+
+    devices = np.array(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devices, ("data", "spatial"))
+
+    x = jnp.asarray(rng.randn(4, 8, 32, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(3, 3, 16, 8).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    ref = nnops.conv2d(x, w, b, stride=1, padding=1)
+
+    def inner(xs, w, b):
+        return halo_exchange_conv2d(xs, w, b, padding=1, axis_name="spatial")
+
+    fn = jax.jit(
+        jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(P("data", None, "spatial", None), P(), P()),
+            out_specs=P("data", None, "spatial", None),
+        )
+    )
+    got = fn(x, w, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
