@@ -154,6 +154,27 @@ class Pix2PixHDModel:
                 # IN/relu/down0 fully packed (58->full-tile MXU economics
                 # for the 39->64 7x7 stem). D's cond is built separately
                 # (it needs the unpacked pyramid anyway).
+                from ..ops.pallas import config as pallas_config
+
+                if (
+                    pallas_config.encode_enabled()
+                    and inst is not None
+                    and not self.use_features()
+                    and len(g_extra) == 1
+                ):
+                    # Pallas fused build: pads + edges + one-hot + mask_box
+                    # + s2d2 in one VMEM pass per tile (ops/pallas/encode).
+                    from ..ops.pallas import encode as pallas_encode
+
+                    g_packed, cond = pallas_encode.encode_stem_pack(
+                        batch["label"], batch["inst"], batch["image"],
+                        batch["boxes"], self.opt.label_nc, dt,
+                    )
+                    return (
+                        (nnops.PackedStemInput(g_packed), None),
+                        cond,
+                        batch.get("image"),
+                    )
                 ids_p = jnp.pad(
                     batch["label"].astype(jnp.int32),
                     ((0, 0), (3, 3), (3, 3)),

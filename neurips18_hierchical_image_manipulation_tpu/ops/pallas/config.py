@@ -82,3 +82,25 @@ def losses_enabled() -> bool:
     if losses.INTERPRET:
         return True
     return _LOSS_KERNELS and jax.default_backend() == "tpu"
+
+
+# fused encode_input kernel (ops/pallas/encode.py): builds g_packed + cond
+# (one-hot + edges + mask_box + reflect-pad + s2d2) in one VMEM pass per
+# tile. No gradient flows through the build, so there is no VJP to lose
+# to; gate measured end-to-end on the v5e (see kernel docstring).
+_ENCODE_KERNEL = False
+
+
+def set_encode_kernel(flag: bool) -> None:
+    global _ENCODE_KERNEL
+    _ENCODE_KERNEL = bool(flag)
+
+
+def encode_enabled() -> bool:
+    if not _ENABLED:
+        return False
+    from . import encode
+
+    if encode.INTERPRET:
+        return True
+    return _ENCODE_KERNEL and jax.default_backend() == "tpu"

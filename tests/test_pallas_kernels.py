@@ -203,3 +203,111 @@ def test_reflect_pad_bwd_eligibility():
     assert not rp.reflect_pad_bwd_eligible((32, 256, 512, 64), 3, np.dtype(np.dtype("bfloat16")))
     # degenerate: mirrors overlapping (tiny spatial) -> lax
     assert not rp.reflect_pad_bwd_eligible((1, 3, 3, 8), 3, np.dtype(np.float32))
+
+
+@pytest.mark.parametrize(
+    "shape,nc,dt",
+    [
+        ((1, 20, 24), 7, jnp.float32),   # odd packed rows -> masked tail block
+        ((2, 64, 32), 11, jnp.bfloat16), # h % 32 == 0 -> tiled cond path
+    ],
+)
+def test_encode_stem_pack_kernel(rng, shape, nc, dt):
+    """Pallas fused encode (one-hot+edge cond, packed stem input incl.
+    reflect pad / s2d2 / mask_box) matches the jnp composition exactly."""
+    from neurips18_hierchical_image_manipulation_tpu.ops import (
+        boxcomposite,
+        onehot_edges,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.ops.pallas import encode
+
+    b, h, w = shape
+    label = jnp.asarray(rng.randint(0, nc, size=shape), jnp.int32)
+    inst = jnp.asarray(rng.randint(0, 5, size=shape), jnp.int32)
+    image = jnp.asarray(rng.rand(b, h, w, 3) * 2 - 1, jnp.float32)
+    boxes = jnp.asarray(
+        np.stack(
+            [
+                rng.randint(0, h // 2, size=b),
+                rng.randint(0, w // 2, size=b),
+                rng.randint(4, h // 2, size=b),
+                rng.randint(4, w // 2, size=b),
+            ],
+            -1,
+        ).astype(np.float32)
+    )
+
+    masked = boxcomposite.mask_box(image, boxes, fill=0.0).astype(dt)
+    ids_p = jnp.pad(label, ((0, 0), (3, 3), (3, 3)), mode="reflect")
+    edge = onehot_edges.instance_edges(inst, jnp.bool_)
+    edge_p = jnp.pad(edge, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+    rgb_p = jnp.pad(masked, ((0, 0), (3, 3), (3, 3), (0, 0)), mode="reflect")
+    g_ref = onehot_edges.encode_input_rgb_packed(ids_p, edge_p, rgb_p, nc, dtype=dt)
+    c_ref = onehot_edges.encode_input(label, inst, nc, dtype=dt)
+
+    encode.INTERPRET = True
+    try:
+        g, c = encode.encode_stem_pack(label, inst, image.astype(dt), boxes, nc, dt)
+    finally:
+        encode.INTERPRET = False
+    assert g.shape == g_ref.shape and g.dtype == g_ref.dtype
+    np.testing.assert_array_equal(
+        np.asarray(g, np.float32), np.asarray(g_ref, np.float32)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(c, np.float32), np.asarray(c_ref, np.float32)
+    )
+
+
+def test_encode_kernel_model_path_matches_jnp(rng):
+    """Pix2PixHDModel.encode_input's Pallas-encode gate (stem-pack branch)
+    produces the same (g_input, cond) as the jnp build — checked through
+    the full losses() at fp32."""
+    from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+        MaskToImageTrainOptions,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.models.factory import (
+        create_model,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+    from neurips18_hierchical_image_manipulation_tpu.ops.pallas import encode
+
+    opt = MaskToImageTrainOptions(
+        name="t",
+        checkpoints_dir="/tmp/himan_test_ckpt",
+        label_nc=8,
+        ngf=8,
+        ndf=8,
+        n_downsample_global=2,
+        n_blocks_global=1,
+        num_D=1,
+        n_layers_D=2,
+        no_vgg_loss=True,
+        batchSize=2,
+        use_masked_image=True,
+    )
+    model = create_model(opt)
+    batch = synthetic_batch(rng, 2, hw=(32, 64), label_nc=opt.label_nc)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    nnops.set_default_precision("default")  # stem-pack needs the perf tier
+    try:
+        assert nnops.stem_pack_enabled()
+        params = model.init_params(jax.random.PRNGKey(0), batch)
+        total_ref, (m_ref, fake_ref) = model.losses(params, batch)
+        encode.INTERPRET = True  # turns encode_enabled() on for the branch
+        try:
+            total_pl, (m_pl, fake_pl) = model.losses(params, batch)
+        finally:
+            encode.INTERPRET = False
+        np.testing.assert_allclose(
+            np.asarray(fake_pl), np.asarray(fake_ref), atol=1e-5, rtol=1e-5
+        )
+        for k in m_ref:
+            np.testing.assert_allclose(
+                float(m_pl[k]), float(m_ref[k]), atol=1e-5, rtol=1e-5
+            )
+    finally:
+        nnops.set_default_precision("highest")
