@@ -88,7 +88,10 @@ def losses_enabled() -> bool:
 # (one-hot + edges + mask_box + reflect-pad + s2d2) in one VMEM pass per
 # tile. No gradient flows through the build, so there is no VJP to lose
 # to; gate measured end-to-end on the v5e (see kernel docstring).
-_ENCODE_KERNEL = False
+# Env override for A/B harness runs: HIMAN_ENCODE_KERNEL=1/0.
+import os as _os
+
+_ENCODE_KERNEL = _os.environ.get("HIMAN_ENCODE_KERNEL", "0") == "1"
 
 
 def set_encode_kernel(flag: bool) -> None:

@@ -92,3 +92,173 @@ def make_spatial_conv(mesh: Mesh, w, b=None, *, padding: int, axis: str = "data"
         out_specs=P(None, None, axis, None),
     )
     return jax.jit(lambda x: sharded(x, w, b))
+
+
+# ---------------------------------------------------------------------------
+# Full spatially-sharded GlobalGenerator forward (SURVEY.md §6.7: "wire it
+# into the generators if the target resolution ever exceeds one chip's
+# HBM"). Every layer of the pix2pixHD GlobalGenerator runs with W-sharded
+# activations: reflect pads take their cross-shard columns from ppermute
+# halos (edge shards reflect their own interior), stride-2 downs carry a
+# left-only halo, transposed-conv ups a right-only halo (the adjoint
+# padding (1,0) reproduces torch's k3/s2/p1/op1 grid per shard exactly),
+# and InstanceNorm statistics are psum-reduced over the mesh axis.
+# Inference-path capability (golden-tested vs the unsharded generator in
+# tests/test_spatial_sharding.py); precision pinned HIGHEST like
+# halo_exchange_conv2d above — this is the parity tier, not the bf16 hot
+# path.
+# ---------------------------------------------------------------------------
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _exchange_lr(x, left: int, right: int, axis_name: str, reflect_edges=False):
+    """Widen the W-sharded slab with ``left``/``right`` neighbour columns.
+    Global edges are zero-filled (conv zero padding) or, with
+    ``reflect_edges``, filled with the edge shard's own reflected interior
+    columns (torch ReflectionPad2d semantics across the global image)."""
+    n_dev = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    parts = []
+    if left:
+        from_left = lax.ppermute(
+            x[:, :, -left:, :], axis_name,
+            [(i, (i + 1) % n_dev) for i in range(n_dev)],
+        )
+        edge = (
+            x[:, :, 1:left + 1, :][:, :, ::-1, :]
+            if reflect_edges
+            else jnp.zeros_like(from_left)
+        )
+        parts.append(jnp.where(idx == 0, edge, from_left))
+    parts.append(x)
+    if right:
+        from_right = lax.ppermute(
+            x[:, :, :right, :], axis_name,
+            [(i, (i - 1) % n_dev) for i in range(n_dev)],
+        )
+        edge = (
+            x[:, :, -right - 1:-1, :][:, :, ::-1, :]
+            if reflect_edges
+            else jnp.zeros_like(from_right)
+        )
+        parts.append(jnp.where(idx == n_dev - 1, edge, from_right))
+    return jnp.concatenate(parts, axis=2)
+
+
+def _sconv(x, w, b=None, *, stride=(1, 1), pad_h=(0, 0), pad_w=(0, 0)):
+    y = lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=[pad_h, pad_w],
+        dimension_numbers=_DN, precision=lax.Precision.HIGHEST,
+    )
+    return y if b is None else y + b
+
+
+def _sconv_reflect(x, w, axis_name, b=None):
+    """k x k stride-1 conv under global ReflectionPad2d(k//2)."""
+    p = w.shape[0] // 2
+    xp = jnp.pad(x, ((0, 0), (p, p), (0, 0), (0, 0)), mode="reflect")
+    widened = _exchange_lr(xp, p, p, axis_name, reflect_edges=True)
+    return _sconv(widened, w, b)
+
+
+def _sconv_down(x, w, axis_name):
+    """3x3 stride-2 pad-1 conv (requires even per-shard W): the first
+    output column of shard d reads global input column d*Ws - 1, so only a
+    left halo of 1 is needed; H pads locally with zeros."""
+    widened = _exchange_lr(x, 1, 0, axis_name)
+    return _sconv(widened, w, stride=(2, 2), pad_h=(1, 1))
+
+
+def _sconv_up(x, w, axis_name):
+    """ConvTranspose2d(k=3, s=2, p=1, op=1): the adjoint conv over the
+    lhs-dilated input. Per shard the dilated-grid window [2*d*Ws, ...)
+    starts on an interleaved-zero slot, so local padding (1, 0) with a
+    right halo of 1 reproduces torch's global grid exactly (see
+    nnops.conv_transpose2d for the unsharded derivation)."""
+    x_ext = _exchange_lr(x, 0, 1, axis_name)
+    w_flipped = w[::-1, ::-1, :, :]
+    return lax.conv_general_dilated(
+        x_ext, w_flipped, window_strides=(1, 1),
+        padding=[(1, 2), (1, 0)], lhs_dilation=(2, 2),
+        dimension_numbers=_DN, precision=lax.Precision.HIGHEST,
+    )
+
+
+def _s_instance_norm(x, axis_name, eps=1e-5):
+    """InstanceNorm2d(affine=False) with the spatial mean/var psum-reduced
+    across the W shards (fp32 statistics, biased variance — matches
+    nnops.instance_norm)."""
+    xf = x.astype(jnp.float32)
+    cnt = lax.psum(
+        jnp.asarray(x.shape[1] * x.shape[2], jnp.float32), axis_name
+    )
+    mean = lax.psum(jnp.sum(xf, axis=(1, 2), keepdims=True), axis_name) / cnt
+    var = (
+        lax.psum(jnp.sum(jnp.square(xf - mean), axis=(1, 2), keepdims=True),
+                 axis_name)
+        / cnt
+    )
+    return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def spatial_generator_forward(
+    params, x, *, n_downsampling, n_blocks, output_nc=3,
+    axis_name: str = "data", eps: float = 1e-5
+):
+    """GlobalGenerator forward over a W-sharded input slab (N,H,Ws,C) —
+    run inside shard_map. ``params`` is the UNMODIFIED flax param tree of
+    models.networks.GlobalGenerator (norm='instance'); biases under IN are
+    dead there and skipped here identically."""
+    p = params["params"] if "params" in params else params
+
+    def norm_relu(h):
+        return jnp.maximum(_s_instance_norm(h, axis_name, eps), 0)
+
+    h = _sconv_reflect(x, p["conv_in"]["kernel"], axis_name)
+    h = norm_relu(h)
+    for i in range(n_downsampling):
+        h = _sconv_down(h, p[f"down{i}"]["kernel"], axis_name)
+        h = norm_relu(h)
+    for i in range(n_blocks):
+        r = p[f"res{i}"]
+        y = _sconv_reflect(h, r["conv1"]["kernel"], axis_name)
+        y = norm_relu(y)
+        y = _sconv_reflect(y, r["conv2"]["kernel"], axis_name)
+        h = h + _s_instance_norm(y, axis_name, eps)
+    for i in range(n_downsampling):
+        h = _sconv_up(h, p[f"up{i}"]["kernel"], axis_name)
+        h = norm_relu(h)
+    h = _sconv_reflect(
+        h, p["conv_out"]["kernel"], axis_name, b=p["conv_out"]["bias"]
+    )
+    return jnp.tanh(h)
+
+
+def make_spatial_generator(
+    mesh: Mesh, params, *, n_downsampling, n_blocks, output_nc=3,
+    axis: str = "data"
+):
+    """Jitted W-sharded GlobalGenerator inference: full (N,H,W,C) in,
+    full (N,H,W,output_nc) out, activations sharded over ``axis``.
+
+    Requirements: W / n_devices divisible by 2**n_downsampling, and the
+    bottleneck per-shard width >= 4 (the stem's reflect-3 halo)."""
+
+    def inner(x_shard, params):
+        ws = x_shard.shape[2]
+        assert ws % (2 ** n_downsampling) == 0 and ws // (2 ** n_downsampling) >= 1, (
+            f"per-shard W {ws} incompatible with {n_downsampling} downs"
+        )
+        assert ws >= 4, "stem reflect-3 halo needs per-shard W >= 4"
+        return spatial_generator_forward(
+            params, x_shard, n_downsampling=n_downsampling,
+            n_blocks=n_blocks, output_nc=output_nc, axis_name=axis,
+        )
+
+    sharded = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(None, None, axis, None), P()),
+        out_specs=P(None, None, axis, None),
+    )
+    return jax.jit(lambda x: sharded(x, params))

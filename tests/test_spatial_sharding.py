@@ -62,3 +62,41 @@ def test_halo_conv_on_2d_mesh_dp_x_spatial(rng):
     )
     got = fn(x, w, b)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_spatial_generator_matches_unsharded():
+    """The FULL W-sharded GlobalGenerator forward (stem reflect-7, stride-2
+    downs, resblocks, transposed-conv ups, psum'd InstanceNorm, head)
+    equals the unsharded generator on an 8-device mesh."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from neurips18_hierchical_image_manipulation_tpu.models import networks
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+    from neurips18_hierchical_image_manipulation_tpu.parallel import spatial
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    rng = np.random.RandomState(7)
+    n_down, n_blocks = 2, 2
+    net = networks.GlobalGenerator(
+        output_nc=3, ngf=8, n_downsampling=n_down, n_blocks=n_blocks
+    )
+    x = jnp.asarray(rng.randn(1, 16, 8 * n_dev * 2 ** n_down, 5), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+
+    nnops.set_default_precision("highest")  # parity tier on both paths
+    try:
+        want = np.asarray(net.apply(params, x))
+        fn = spatial.make_spatial_generator(
+            mesh, params, n_downsampling=n_down, n_blocks=n_blocks
+        )
+        got = np.asarray(fn(x))
+    finally:
+        nnops.set_default_precision("highest")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
