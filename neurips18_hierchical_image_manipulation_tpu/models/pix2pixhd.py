@@ -161,6 +161,8 @@ class Pix2PixHDModel:
                     and inst is not None
                     and not self.use_features()
                     and len(g_extra) == 1
+                    and h % 32 == 0  # cond kernel row-tile; odd heights
+                    # would force a whole-image VMEM block — jnp path then
                 ):
                     # Pallas fused build: pads + edges + one-hot + mask_box
                     # + s2d2 in one VMEM pass per tile (ops/pallas/encode).

@@ -202,6 +202,60 @@ def _s_instance_norm(x, axis_name, eps=1e-5):
     return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
 
 
+def _s_norm_relu(h, axis_name, eps):
+    return jnp.maximum(_s_instance_norm(h, axis_name, eps), 0)
+
+
+def _s_resblocks(p, h, names, axis_name, eps):
+    for name in names:
+        r = p[name]
+        y = _sconv_reflect(h, r["conv1"]["kernel"], axis_name)
+        y = _s_norm_relu(y, axis_name, eps)
+        y = _sconv_reflect(y, r["conv2"]["kernel"], axis_name)
+        h = h + _s_instance_norm(y, axis_name, eps)
+    return h
+
+
+def _s_backbone(p, x, n_downsampling, n_blocks, axis_name, eps):
+    """GlobalGenerator trunk (stem..ups, no head) over a W-sharded slab —
+    shared by the sharded GlobalGenerator and the LocalEnhancer's
+    ``global`` subtree (models/networks.py _GlobalBackbone)."""
+    h = _sconv_reflect(x, p["conv_in"]["kernel"], axis_name)
+    h = _s_norm_relu(h, axis_name, eps)
+    for i in range(n_downsampling):
+        h = _sconv_down(h, p[f"down{i}"]["kernel"], axis_name)
+        h = _s_norm_relu(h, axis_name, eps)
+    h = _s_resblocks(p, h, [f"res{i}" for i in range(n_blocks)], axis_name, eps)
+    for i in range(n_downsampling):
+        h = _sconv_up(h, p[f"up{i}"]["kernel"], axis_name)
+        h = _s_norm_relu(h, axis_name, eps)
+    return h
+
+
+def _s_avg_pool_3x3s2(x, axis_name):
+    """nnops.avg_pool_3x3s2 (k3/s2/p1, count_include_pad=False) over the
+    W-sharded slab: left-only halo like the stride-2 conv; the inverse
+    count map is global-border-aware (first output col of shard 0 and the
+    global top row have 2 taps on the clipped axis, interior 3)."""
+    widened = _exchange_lr(x, 1, 0, axis_name)
+    n, h, wp, c = widened.shape
+    ws = wp - 1
+    s_w = (
+        widened[:, :, 0:ws - 1:2, :]
+        + widened[:, :, 1:ws:2, :]
+        + widened[:, :, 2:ws + 1:2, :]
+    )
+    hp = jnp.pad(s_w, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    s = hp[:, 0:h - 1:2] + hp[:, 1:h:2] + hp[:, 2:h + 1:2]
+    h2, w2 = s.shape[1], s.shape[2]
+    rows = jnp.full((h2,), 3.0, jnp.float32).at[0].set(2.0)
+    cols = jnp.full((w2,), 3.0, jnp.float32)
+    first = (lax.axis_index(axis_name) == 0).astype(jnp.float32)
+    cols = cols.at[0].add(-first)  # global col 0 has 2 horizontal taps
+    inv = (1.0 / (rows[:, None] * cols[None, :]))[None, :, :, None]
+    return (s.astype(jnp.float32) * inv).astype(x.dtype)
+
+
 def spatial_generator_forward(
     params, x, *, n_downsampling, n_blocks, output_nc=3,
     axis_name: str = "data", eps: float = 1e-5
@@ -211,28 +265,49 @@ def spatial_generator_forward(
     models.networks.GlobalGenerator (norm='instance'); biases under IN are
     dead there and skipped here identically."""
     p = params["params"] if "params" in params else params
-
-    def norm_relu(h):
-        return jnp.maximum(_s_instance_norm(h, axis_name, eps), 0)
-
-    h = _sconv_reflect(x, p["conv_in"]["kernel"], axis_name)
-    h = norm_relu(h)
-    for i in range(n_downsampling):
-        h = _sconv_down(h, p[f"down{i}"]["kernel"], axis_name)
-        h = norm_relu(h)
-    for i in range(n_blocks):
-        r = p[f"res{i}"]
-        y = _sconv_reflect(h, r["conv1"]["kernel"], axis_name)
-        y = norm_relu(y)
-        y = _sconv_reflect(y, r["conv2"]["kernel"], axis_name)
-        h = h + _s_instance_norm(y, axis_name, eps)
-    for i in range(n_downsampling):
-        h = _sconv_up(h, p[f"up{i}"]["kernel"], axis_name)
-        h = norm_relu(h)
+    h = _s_backbone(p, x, n_downsampling, n_blocks, axis_name, eps)
     h = _sconv_reflect(
         h, p["conv_out"]["kernel"], axis_name, b=p["conv_out"]["bias"]
     )
     return jnp.tanh(h)
+
+
+def spatial_local_enhancer_forward(
+    params, x, *, n_downsample_global, n_blocks_global,
+    n_local_enhancers=1, n_blocks_local=3, output_nc=3,
+    axis_name: str = "data", eps: float = 1e-5
+):
+    """LocalEnhancer (the 1024p coarse-to-fine model — where one image may
+    genuinely exceed one chip's HBM) over a W-sharded input slab: sharded
+    avg-pool input pyramid, sharded global trunk at 1/2 res, local branch
+    (stem, down, +trunk fuse, resblocks, up) and head, all W-sharded."""
+    p = params["params"] if "params" in params else params
+    pyramid = [x]
+    for _ in range(n_local_enhancers):
+        pyramid.append(_s_avg_pool_3x3s2(pyramid[-1], axis_name))
+
+    out = _s_backbone(
+        p["global"], pyramid[-1], n_downsample_global, n_blocks_global,
+        axis_name, eps,
+    )
+    for n in range(1, n_local_enhancers + 1):
+        inp = pyramid[n_local_enhancers - n]
+        h = _sconv_reflect(inp, p[f"local{n}_conv_in"]["kernel"], axis_name)
+        h = _s_norm_relu(h, axis_name, eps)
+        h = _sconv_down(h, p[f"local{n}_down"]["kernel"], axis_name)
+        h = _s_norm_relu(h, axis_name, eps)
+        h = h + out
+        h = _s_resblocks(
+            p, h, [f"local{n}_res{i}" for i in range(n_blocks_local)],
+            axis_name, eps,
+        )
+        h = _sconv_up(h, p[f"local{n}_up"]["kernel"], axis_name)
+        h = _s_norm_relu(h, axis_name, eps)
+        out = h
+    out = _sconv_reflect(
+        out, p["conv_out"]["kernel"], axis_name, b=p["conv_out"]["bias"]
+    )
+    return jnp.tanh(out)
 
 
 def make_spatial_generator(
@@ -254,6 +329,36 @@ def make_spatial_generator(
         return spatial_generator_forward(
             params, x_shard, n_downsampling=n_downsampling,
             n_blocks=n_blocks, output_nc=output_nc, axis_name=axis,
+        )
+
+    sharded = jax.shard_map(
+        inner, mesh=mesh,
+        in_specs=(P(None, None, axis, None), P()),
+        out_specs=P(None, None, axis, None),
+    )
+    return jax.jit(lambda x: sharded(x, params))
+
+
+def make_spatial_local_enhancer(
+    mesh: Mesh, params, *, n_downsample_global, n_blocks_global,
+    n_local_enhancers=1, n_blocks_local=3, output_nc=3, axis: str = "data"
+):
+    """Jitted W-sharded LocalEnhancer inference (see
+    spatial_local_enhancer_forward). Requires per-shard W divisible by
+    2**(n_local_enhancers + n_downsample_global) and >= 8."""
+
+    def inner(x_shard, params):
+        ws = x_shard.shape[2]
+        need = 2 ** (n_local_enhancers + n_downsample_global)
+        assert ws % need == 0 and ws >= 8, (
+            f"per-shard W {ws} incompatible (need multiple of {need}, >= 8)"
+        )
+        return spatial_local_enhancer_forward(
+            params, x_shard, n_downsample_global=n_downsample_global,
+            n_blocks_global=n_blocks_global,
+            n_local_enhancers=n_local_enhancers,
+            n_blocks_local=n_blocks_local, output_nc=output_nc,
+            axis_name=axis,
         )
 
     sharded = jax.shard_map(

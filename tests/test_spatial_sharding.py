@@ -100,3 +100,41 @@ def test_spatial_generator_matches_unsharded():
         nnops.set_default_precision("highest")
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_spatial_local_enhancer_matches_unsharded():
+    """W-sharded LocalEnhancer (sharded avg-pool pyramid + global trunk +
+    local branch + head) equals the unsharded 1024p model on the mesh."""
+    import numpy as np
+    from jax.sharding import Mesh
+    from neurips18_hierchical_image_manipulation_tpu.models import networks
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+    from neurips18_hierchical_image_manipulation_tpu.parallel import spatial
+
+    n_dev = len(jax.devices())
+    if n_dev < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+
+    rng = np.random.RandomState(3)
+    net = networks.LocalEnhancer(
+        output_nc=3, ngf=4, n_downsample_global=2, n_blocks_global=2,
+        n_local_enhancers=1, n_blocks_local=1,
+    )
+    x = jnp.asarray(rng.randn(1, 16, 16 * n_dev, 5), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+
+    nnops.set_default_precision("highest")
+    try:
+        want = np.asarray(net.apply(params, x))
+        fn = spatial.make_spatial_local_enhancer(
+            mesh, params, n_downsample_global=2, n_blocks_global=2,
+            n_local_enhancers=1, n_blocks_local=1,
+        )
+        got = np.asarray(fn(x))
+    finally:
+        nnops.set_default_precision("highest")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
