@@ -54,8 +54,53 @@ def main(argv=None):
             clusters = np.load(opt.cluster_path)
             print(f"loaded feature clusters {clusters.shape} from {opt.cluster_path}")
 
+    def make_fwd(params):
+        if getattr(opt, "spatial_shards", 0) and opt.spatial_shards > 1:
+            # W-sharded generator inference over a device mesh (SURVEY
+            # §6.7): conditioning is built with the literal (unpacked)
+            # encode, then every generator layer runs on W shards with
+            # ppermute halos (parallel/spatial.py).
+            assert opt.netG == "global", "--spatial_shards needs netG=global"
+            assert not model.use_features(), (
+                "--spatial_shards is incompatible with encoder features"
+            )
+            from jax.sharding import Mesh
+
+            from ..ops import boxcomposite, onehot_edges
+            from ..parallel import spatial
+
+            devs = np.array(jax.devices()[: opt.spatial_shards])
+            assert len(devs) == opt.spatial_shards, (
+                f"need {opt.spatial_shards} devices, have {len(jax.devices())}"
+            )
+            mesh = Mesh(devs, ("data",))
+            sp = spatial.make_spatial_generator(
+                mesh,
+                params["G"],
+                n_downsampling=opt.n_downsample_global,
+                n_blocks=opt.n_blocks_global,
+            )
+            print(f"spatial inference: W sharded over {opt.spatial_shards} devices")
+
+            def fwd(_p, b):
+                inst = None if opt.no_instance else b["inst"]
+                img = b.get("image")
+                if img is not None and img.dtype == jnp.uint8:
+                    img = img.astype(jnp.float32) / 127.5 - 1.0
+                if getattr(opt, "use_masked_image", False):
+                    rgb = boxcomposite.mask_box(img, b["boxes"], fill=0.0)
+                    g = onehot_edges.encode_input_rgb(
+                        b["label"], inst, rgb, opt.label_nc
+                    )
+                else:
+                    g = onehot_edges.encode_input(b["label"], inst, opt.label_nc)
+                return sp(g)
+
+            return fwd
+        return jax.jit(lambda p, b: model.inference(p, b))
+
     params = None
-    fwd = jax.jit(lambda p, b: model.inference(p, b))
+    fwd = None
     done = 0
     for host_batch in loader:
         batch = {k: jnp.asarray(v) for k, v in host_batch.items() if not isinstance(v, list)}
@@ -67,6 +112,7 @@ def main(argv=None):
             )
         if params is None:
             params = restore_params(opt, model, batch)
+            fwd = make_fwd(params)
         fake = np.asarray(jax.device_get(fwd(params, batch)))
         for i in range(fake.shape[0]):
             visuals = {

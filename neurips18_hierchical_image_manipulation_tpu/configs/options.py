@@ -251,6 +251,12 @@ class MaskToImageTestOptions(TestOptions):
     contextMargin: float = 2.0
     min_box_size: int = 16
     max_box_size: int = 10_000
+    # >1: run the generator with W-sharded activations over that many
+    # devices (parallel/spatial.py make_spatial_generator — the SURVEY
+    # §6.7 escape hatch for resolutions exceeding one chip's HBM).
+    # netG=global, no encoder features; W/spatial_shards must be a
+    # multiple of 2**n_downsample_global.
+    spatial_shards: int = 0
 
 
 def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:

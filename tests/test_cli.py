@@ -147,3 +147,38 @@ def test_load_pretrain_global_into_local(dataroot, tmp_path):
     ]
     mask2image_train.main(lflags)
     assert os.path.isdir(os.path.join(str(tmp_path), "ckpt", "pre_l", "ckpt", "latest"))
+
+
+def test_mask2image_spatial_shards_cli(dataroot, tmp_path):
+    """--spatial_shards N: W-sharded generator inference through the real
+    test driver on the virtual CPU mesh (SURVEY §6.7 surface)."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+    from neurips18_hierchical_image_manipulation_tpu.cli import (
+        mask2image_test,
+        mask2image_train,
+    )
+
+    flags = common_flags(dataroot, tmp_path, "m2i_sp") + [
+        "--fineSize", "64",
+        "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "1", "--display_freq", "4",
+        "--save_epoch_freq", "1", "--save_latest_freq", "4",
+        "--no_vgg_loss",
+    ]
+    mask2image_train.main(flags)
+    test_flags = common_flags(dataroot, tmp_path, "m2i_sp") + [
+        "--fineSize", "64",
+        "--results_dir", os.path.join(str(tmp_path), "results_sp"),
+        "--how_many", "2",
+        "--spatial_shards", "2",
+    ]
+    mask2image_test.main(test_flags)
+    out = os.path.join(
+        str(tmp_path), "results_sp", "m2i_sp", "test_latest", "index.html"
+    )
+    assert os.path.exists(out)
