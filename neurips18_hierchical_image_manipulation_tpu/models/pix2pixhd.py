@@ -166,12 +166,23 @@ class Pix2PixHDModel:
                 ):
                     # Pallas fused build: pads + edges + one-hot + mask_box
                     # + s2d2 in one VMEM pass per tile (ops/pallas/encode).
+                    # Mode 2 keeps cond on XLA's fused build so the
+                    # one-hot -> avgpool producer fusion of the D cond
+                    # pyramid survives (see pallas/config.py).
                     from ..ops.pallas import encode as pallas_encode
 
-                    g_packed, cond = pallas_encode.encode_stem_pack(
+                    g_packed = pallas_encode.encode_packed(
                         batch["label"], batch["inst"], batch["image"],
                         batch["boxes"], self.opt.label_nc, dt,
                     )
+                    if pallas_config.encode_cond_enabled():
+                        cond = pallas_encode.encode_cond(
+                            batch["label"], batch["inst"], self.opt.label_nc, dt
+                        )
+                    else:
+                        cond = onehot_edges.encode_input(
+                            batch["label"], inst, self.opt.label_nc, dtype=dt
+                        )
                     return (
                         (nnops.PackedStemInput(g_packed), None),
                         cond,

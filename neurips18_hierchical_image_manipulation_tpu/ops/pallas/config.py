@@ -88,22 +88,40 @@ def losses_enabled() -> bool:
 # (one-hot + edges + mask_box + reflect-pad + s2d2) in one VMEM pass per
 # tile. No gradient flows through the build, so there is no VJP to lose
 # to; gate measured end-to-end on the v5e (see kernel docstring).
-# Env override for A/B harness runs: HIMAN_ENCODE_KERNEL=1/0.
+# Modes (env HIMAN_ENCODE_KERNEL for A/B harness runs):
+#   0 = off (jnp/XLA build)
+#   1 = both outputs from Pallas (g_packed + cond)
+#   2 = g_packed only — cond stays on XLA's fused build, preserving the
+#       one-hot -> avgpool producer fusion of the D cond pyramid (the
+#       fusion whose break made the strided-slices pool variant lose,
+#       nnops.py _POOL_IMPL note)
 import os as _os
 
-_ENCODE_KERNEL = _os.environ.get("HIMAN_ENCODE_KERNEL", "0") == "1"
+_ENCODE_KERNEL = int(_os.environ.get("HIMAN_ENCODE_KERNEL", "0") or "0")
 
 
-def set_encode_kernel(flag: bool) -> None:
+def set_encode_kernel(mode) -> None:
     global _ENCODE_KERNEL
-    _ENCODE_KERNEL = bool(flag)
+    _ENCODE_KERNEL = int(mode)
 
 
 def encode_enabled() -> bool:
+    """True when the Pallas g_packed build is active (modes 1 and 2)."""
     if not _ENABLED:
         return False
     from . import encode
 
     if encode.INTERPRET:
         return True
-    return _ENCODE_KERNEL and jax.default_backend() == "tpu"
+    return _ENCODE_KERNEL >= 1 and jax.default_backend() == "tpu"
+
+
+def encode_cond_enabled() -> bool:
+    """True when cond ALSO comes from the Pallas kernel (mode 1)."""
+    if not _ENABLED:
+        return False
+    from . import encode
+
+    if encode.INTERPRET:
+        return True
+    return _ENCODE_KERNEL == 1 and jax.default_backend() == "tpu"
