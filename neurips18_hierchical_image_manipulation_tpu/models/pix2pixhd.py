@@ -214,6 +214,23 @@ class Pix2PixHDModel:
             # at 512x256 bs32), one stem conv (splitting the stem into
             # partial convs measured 33.6 vs 26.8 ms: the 3ch partial pays
             # a full MXU pass). D's cond is a contiguous channel slice.
+            from ..ops.pallas import config as pallas_config
+
+            if (
+                pallas_config.encode_enabled()
+                and inst is not None
+                and not self.use_features()
+                and len(g_extra) == 1
+                and h % 32 == 0
+            ):
+                from ..ops.pallas import encode as pallas_encode
+
+                g_full = pallas_encode.encode_full(
+                    batch["label"], batch["inst"], batch["image"],
+                    batch["boxes"], self.opt.label_nc, dt,
+                )
+                cond = g_full[..., : g_full.shape[-1] - rgb.shape[-1]]
+                return (g_full, None), cond, batch.get("image")
             g_full = onehot_edges.encode_input_rgb(
                 batch["label"], inst, rgb, self.opt.label_nc, dtype=dt
             )

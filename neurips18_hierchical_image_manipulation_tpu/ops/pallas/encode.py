@@ -108,8 +108,8 @@ def encode_cond(label, inst, nc, dtype=jnp.bfloat16):
 
 
 def _reflect3_w(x):
-    """Reflect-pad the last-but-one... no: pad the LANE (W) axis by 3 on
-    both sides, mode='reflect': [3,2,1] + x + [W-2,W-3,W-4]."""
+    """Reflect-pad the LANE (W) axis by 3 on both sides, mode='reflect':
+    cols [3,2,1] + x + cols [W-2,W-3,W-4]."""
     head = jnp.concatenate([x[:, 3:4], x[:, 2:3], x[:, 1:2]], 1)
     w = x.shape[1]
     tail = jnp.concatenate([x[:, w - 2:w - 1], x[:, w - 3:w - 2],
@@ -227,3 +227,70 @@ def encode_stem_pack(label, inst, image, boxes, nc, dtype=jnp.bfloat16):
     g = encode_packed(label, inst, image, boxes, nc, dtype)
     cond = encode_cond(label, inst, nc, dtype)
     return g, cond
+
+
+def _full_kernel(boxes_ref, label_ref, inst_ref, image_ref, out_ref, *,
+                 nc, ht, h_img, dtype):
+    """Unpacked fused build: one-hot ⊕ edge ⊕ box-masked RGB at full res
+    (the encode_input_rgb layout) — the non-stem-pack configs' hot build
+    (LocalEnhancer 1024p trains through this path)."""
+    i = pl.program_id(1)
+    r0 = i * ht
+    w_img = label_ref.shape[2]
+    ids = label_ref[0]                       # (HT, W)
+    inst_c = inst_ref[0, pl.ds(r0, ht), :]
+
+    up = inst_ref[0, pl.ds(jnp.maximum(r0 - 1, 0), ht), :]
+    dn = inst_ref[0, pl.ds(jnp.minimum(r0 + 1, h_img - ht), ht), :]
+    up_in = jnp.concatenate([inst_c[:1], inst_c[:-1]], 0)
+    dn_in = jnp.concatenate([inst_c[1:], inst_c[-1:]], 0)
+    i_u = jnp.where(r0 == 0, up_in, up)
+    i_d = jnp.where(r0 + ht == h_img, dn_in, dn)
+    e = _edge_rows(inst_c, i_u, i_d, True, True)
+
+    # box-masked RGB rows (boxcomposite.mask_box, fill=0)
+    y0, x0 = boxes_ref[0, 0], boxes_ref[0, 1]
+    bh, bw = boxes_ref[0, 2], boxes_ref[0, 3]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (ht, 1), 0).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w_img), 1).astype(jnp.float32)
+    rows = rows + jnp.asarray(r0, jnp.float32)
+    inside = (
+        jnp.where((rows >= y0) & (rows < y0 + bh), 1.0, 0.0)
+        * jnp.where((cols >= x0) & (cols < x0 + bw), 1.0, 0.0)
+    )
+    rgb = image_ref[0]
+    rgb = rgb * (1.0 - inside[..., None]).astype(rgb.dtype)
+
+    nco = nc + 4
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (ht, w_img, nco), 2)
+    out = ids[..., None] == c_idx
+    out = jnp.where(c_idx == nc, e[..., None], out).astype(dtype)
+    for c in range(3):
+        out = jnp.where(c_idx == nc + 1 + c, rgb[..., c:c + 1].astype(dtype), out)
+    out_ref[0] = out
+
+
+def encode_full(label, inst, image, boxes, nc, dtype=jnp.bfloat16):
+    """(B,H,W,nc+4) = one-hot ⊕ edge ⊕ mask_box(image) — matches
+    onehot_edges.encode_input_rgb(label, inst, mask_box(image, boxes), nc)."""
+    b, h, w = label.shape
+    ht = _HT if h % _HT == 0 else h
+    kern = functools.partial(_full_kernel, nc=nc, ht=ht, h_img=h, dtype=dtype)
+    return pl.pallas_call(
+        kern,
+        grid=(b, h // ht),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda bb, i: (bb, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, ht, w), lambda bb, i: (bb, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ht, w, 3), lambda bb, i: (bb, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ht, w, nc + 4), lambda bb, i: (bb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, nc + 4), dtype),
+        interpret=INTERPRET,
+    )(boxes.astype(jnp.float32), label.astype(jnp.int32),
+      inst.astype(jnp.int32), image)

@@ -311,3 +311,33 @@ def test_encode_kernel_model_path_matches_jnp(rng):
             )
     finally:
         nnops.set_default_precision("highest")
+
+
+@pytest.mark.parametrize("dt", [jnp.float32, jnp.bfloat16])
+def test_encode_full_kernel(rng, dt):
+    """Unpacked fused build (one-hot ⊕ edge ⊕ mask_box RGB) matches
+    encode_input_rgb ∘ mask_box exactly."""
+    from neurips18_hierchical_image_manipulation_tpu.ops import (
+        boxcomposite,
+        onehot_edges,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.ops.pallas import encode
+
+    b, h, w, nc = 2, 64, 48, 9
+    label = jnp.asarray(rng.randint(0, nc, size=(b, h, w)), jnp.int32)
+    inst = jnp.asarray(rng.randint(0, 5, size=(b, h, w)), jnp.int32)
+    image = jnp.asarray(rng.rand(b, h, w, 3) * 2 - 1, jnp.float32).astype(dt)
+    boxes = jnp.asarray(np.array([[5, 7, 20, 18], [0, 0, 64, 48]], np.float32))
+
+    masked = boxcomposite.mask_box(image, boxes, fill=0.0)
+    want = onehot_edges.encode_input_rgb(label, inst, masked, nc, dtype=dt)
+
+    encode.INTERPRET = True
+    try:
+        got = encode.encode_full(label, inst, image, boxes, nc, dt)
+    finally:
+        encode.INTERPRET = False
+    assert got.shape == want.shape and got.dtype == want.dtype
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
