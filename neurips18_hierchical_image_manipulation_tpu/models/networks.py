@@ -404,9 +404,13 @@ class MultiscaleDiscriminator(nn.Module):
         """x (+ optional x2, channel-concat semantics — see Conv): the
         two-input form keeps the conditioning pyramid separate so its
         AvgPool downsamples and layer0 partial convs CSE across the three
-        per-step D applies."""
+        per-step D applies. ``x`` may also be a tuple/list: a PRECOMPUTED
+        conditioning pyramid (scale 0 first; e.g. the Pallas
+        encode_cond_pooled output) — identical values, pooling skipped."""
+        x_pyr = x if isinstance(x, (tuple, list)) else None
         results = []
-        inp, inp2 = x, x2
+        inp = x_pyr[0] if x_pyr is not None else x
+        inp2 = x2
         for i in range(self.num_D):
             d = NLayerDiscriminator(
                 self.ndf,
@@ -417,7 +421,11 @@ class MultiscaleDiscriminator(nn.Module):
             )
             results.append(d(inp, inp2))
             if i != self.num_D - 1:
-                inp = nnops.avg_pool_3x3s2(inp)
+                inp = (
+                    x_pyr[i + 1]
+                    if x_pyr is not None
+                    else nnops.avg_pool_3x3s2(inp)
+                )
                 if inp2 is not None:
                     inp2 = nnops.avg_pool_3x3s2(inp2)
         return results

@@ -179,6 +179,23 @@ class Pix2PixHDModel:
                         cond = pallas_encode.encode_cond(
                             batch["label"], batch["inst"], self.opt.label_nc, dt
                         )
+                        if (
+                            pallas_config.encode_pool_enabled()
+                            and getattr(self.opt, "num_D", 0) == 2
+                            and h % 32 == 0
+                            and h >= 64
+                        ):
+                            # mode 3: hand D a precomputed cond pyramid so
+                            # the materialized cond never pays a pool
+                            # re-read (networks.MultiscaleDiscriminator
+                            # tuple form)
+                            cond = (
+                                cond,
+                                pallas_encode.encode_cond_pooled(
+                                    batch["label"], batch["inst"],
+                                    self.opt.label_nc, dt,
+                                ),
+                            )
                     else:
                         cond = onehot_edges.encode_input(
                             batch["label"], inst, self.opt.label_nc, dtype=dt
@@ -360,7 +377,8 @@ class Pix2PixHDModel:
         G step's — guarded by the assertion below (VERDICT r1 weak#8)."""
         opt = self.opt
         _, cond, real = self.encode_input(batch)
-        assert cond.shape[-1] == self.opt.label_nc + (
+        cond0 = cond[0] if isinstance(cond, (tuple, list)) else cond
+        assert cond0.shape[-1] == self.opt.label_nc + (
             0 if self.opt.no_instance else 1
         ), "D conditioning must not include encoder features"
         use_lsgan = not opt.no_lsgan

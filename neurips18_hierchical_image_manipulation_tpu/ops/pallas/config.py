@@ -95,6 +95,8 @@ def losses_enabled() -> bool:
 #       one-hot -> avgpool producer fusion of the D cond pyramid (the
 #       fusion whose break made the strided-slices pool variant lose,
 #       nnops.py _POOL_IMPL note)
+#   3 = mode 1 + the scale-1 pooled cond ALSO from Pallas
+#       (encode_cond_pooled), so materializing cond costs no pool re-read
 import os as _os
 
 _ENCODE_KERNEL = int(_os.environ.get("HIMAN_ENCODE_KERNEL", "0") or "0")
@@ -105,23 +107,30 @@ def set_encode_kernel(mode) -> None:
     _ENCODE_KERNEL = int(mode)
 
 
-def encode_enabled() -> bool:
-    """True when the Pallas g_packed build is active (modes 1 and 2)."""
+def _encode_mode() -> int:
     if not _ENABLED:
-        return False
+        return 0
     from . import encode
 
     if encode.INTERPRET:
-        return True
-    return _ENCODE_KERNEL >= 1 and jax.default_backend() == "tpu"
+        # tests: INTERPRET activates the kernels; an explicitly set mode
+        # still selects WHICH arms run (default = mode 1)
+        return _ENCODE_KERNEL or 1
+    if jax.default_backend() != "tpu":
+        return 0
+    return _ENCODE_KERNEL
+
+
+def encode_enabled() -> bool:
+    """True when the Pallas g_packed build is active (modes 1/2/3)."""
+    return _encode_mode() >= 1
 
 
 def encode_cond_enabled() -> bool:
-    """True when cond ALSO comes from the Pallas kernel (mode 1)."""
-    if not _ENABLED:
-        return False
-    from . import encode
+    """True when cond ALSO comes from the Pallas kernel (modes 1/3)."""
+    return _encode_mode() in (1, 3)
 
-    if encode.INTERPRET:
-        return True
-    return _ENCODE_KERNEL == 1 and jax.default_backend() == "tpu"
+
+def encode_pool_enabled() -> bool:
+    """True when the scale-1 pooled cond comes from Pallas too (mode 3)."""
+    return _encode_mode() == 3

@@ -294,3 +294,87 @@ def encode_full(label, inst, image, boxes, nc, dtype=jnp.bfloat16):
         interpret=INTERPRET,
     )(boxes.astype(jnp.float32), label.astype(jnp.int32),
       inst.astype(jnp.int32), image)
+
+
+_PT2 = 16  # pooled-cond out-row tile
+
+
+def _cond_pooled_kernel(label_ref, inst_ref, out_ref, *, nc, h_img, dtype):
+    """avg_pool_3x3s2(cond) computed straight from the id planes: for each
+    pooled row tile, build the 33 cond rows its windows touch (one-hot ⊕
+    edge, same math as _cond_kernel) and window-sum them with strided
+    slices. Sums stay in ``dtype``: cond values are 0/1, window sums <= 9
+    are exact in bf16, and count division uses the same bf16 operands as
+    the reduce_window lowering — bit-identical to
+    nnops.avg_pool_3x3s2(encode_cond(...))."""
+    i = pl.program_id(1)
+    i0 = i * _PT2
+    start = jnp.maximum(2 * i0 - 1, 0)
+    first = i0 == 0
+    last = start + 33 >= h_img
+    hm1 = h_img - 1
+
+    lab = label_ref[0, pl.ds(start, 33), :]     # (33, W) int32
+    inst_c = inst_ref[0, pl.ds(start, 33), :]
+    up = inst_ref[0, pl.ds(jnp.maximum(start - 1, 0), 33), :]
+    dn = inst_ref[0, pl.ds(jnp.minimum(start + 1, h_img - 33), 33), :]
+    up_in = jnp.concatenate([inst_c[:1], inst_c[:-1]], 0)
+    dn_in = jnp.concatenate([inst_c[1:], inst_c[-1:]], 0)
+    i_u = jnp.where(first, up_in, up)
+    i_d = jnp.where(last, dn_in, dn)
+    g_row = start + jax.lax.broadcasted_iota(jnp.int32, (33, 1), 0)
+    e = _edge_rows(inst_c, i_u, i_d, g_row > 0, g_row < hm1)
+
+    w_img = lab.shape[1]
+    c_idx = jax.lax.broadcasted_iota(jnp.int32, (33, w_img, nc + 1), 2)
+    cond = jnp.where(c_idx == nc, e[..., None], lab[..., None] == c_idx)
+    cond = cond.astype(dtype)
+
+    # first block: logical window rows are -1..31 -> shift down one, zero
+    # row on top (the H pad)
+    shifted = jnp.concatenate([jnp.zeros_like(cond[:1]), cond[:32]], 0)
+    cond = jnp.where(first, shifted, cond)
+
+    s_h = cond[0:31:2] + cond[1:32:2] + cond[2:33:2]       # (16, W, C)
+    wp = jnp.concatenate([jnp.zeros_like(s_h[:, :1]), s_h], 1)  # (16, W+1, C)
+    s = (
+        wp[:, 0:w_img - 1:2]
+        + wp[:, 1:w_img:2]
+        + wp[:, 2:w_img + 1:2]
+    )                                                       # (16, W/2, C)
+
+    w2 = w_img // 2
+    rows_g = i0 + jax.lax.broadcasted_iota(jnp.int32, (_PT2, 1), 0)
+    rcnt = jnp.where(rows_g == 0, 2.0, 3.0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (1, w2), 1)
+    ccnt = jnp.where(cols == 0, 2.0, 3.0)
+    cnt = (rcnt * ccnt).astype(dtype)[..., None]
+    out_ref[0] = s / cnt
+
+
+def encode_cond_pooled(label, inst, nc, dtype=jnp.bfloat16):
+    """(B, H/2, W/2, nc+1) = nnops.avg_pool_3x3s2(encode_cond(label, inst))
+    computed directly from the id planes — the multiscale-D scale-1
+    conditioning without materializing-then-pooling the full-res cond.
+    Requires H % 32 == 0 and even W."""
+    b, h, w = label.shape
+    # h >= 64: each program reads a 33-row slab, so the plane must hold
+    # one slab beyond the first tile's shifted window
+    assert h % (2 * _PT2) == 0 and h >= 64 and w % 2 == 0
+    kern = functools.partial(_cond_pooled_kernel, nc=nc, h_img=h, dtype=dtype)
+    h2 = h // 2
+    return pl.pallas_call(
+        kern,
+        grid=(b, h2 // _PT2),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda bb, i: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _PT2, w // 2, nc + 1),
+                               lambda bb, i: (bb, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h2, w // 2, nc + 1), dtype),
+        interpret=INTERPRET,
+    )(label.astype(jnp.int32), inst.astype(jnp.int32))

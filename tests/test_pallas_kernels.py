@@ -341,3 +341,93 @@ def test_encode_full_kernel(rng, dt):
     np.testing.assert_array_equal(
         np.asarray(got, np.float32), np.asarray(want, np.float32)
     )
+
+
+@pytest.mark.parametrize("dt", [jnp.bfloat16, jnp.float32])
+def test_encode_cond_pooled_kernel(rng, dt):
+    """Pooled-cond kernel == avg_pool_3x3s2(encode_input) bit-for-bit in
+    the compute dtype (window sums of 0/1 are exact in bf16 and the count
+    division uses identical operands)."""
+    from neurips18_hierchical_image_manipulation_tpu.ops import (
+        nnops,
+        onehot_edges,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.ops.pallas import encode
+
+    b, h, w, nc = 2, 64, 52, 9
+    label = jnp.asarray(rng.randint(0, nc, size=(b, h, w)), jnp.int32)
+    inst = jnp.asarray(rng.randint(0, 6, size=(b, h, w)), jnp.int32)
+
+    cond = onehot_edges.encode_input(label, inst, nc, dtype=dt)
+    want = nnops.avg_pool_3x3s2(cond)
+
+    encode.INTERPRET = True
+    try:
+        got = encode.encode_cond_pooled(label, inst, nc, dt)
+    finally:
+        encode.INTERPRET = False
+    assert got.shape == want.shape and got.dtype == want.dtype
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want, np.float32)
+    )
+
+
+def test_encode_kernel_mode3_model_path(rng):
+    """Mode 3 (Pallas cond + precomputed pooled-cond pyramid through
+    MultiscaleD's tuple form) produces the same losses as the jnp path."""
+    from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+        MaskToImageTrainOptions,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.models.factory import (
+        create_model,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+    from neurips18_hierchical_image_manipulation_tpu.ops.pallas import (
+        config as pcfg,
+        encode,
+    )
+
+    opt = MaskToImageTrainOptions(
+        name="t",
+        checkpoints_dir="/tmp/himan_test_ckpt",
+        label_nc=8,
+        ngf=8,
+        ndf=8,
+        n_downsample_global=2,
+        n_blocks_global=1,
+        num_D=2,
+        n_layers_D=2,
+        no_vgg_loss=True,
+        batchSize=2,
+        use_masked_image=True,
+    )
+    model = create_model(opt)
+    batch = synthetic_batch(rng, 2, hw=(64, 64), label_nc=opt.label_nc)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    nnops.set_default_precision("default")
+    try:
+        assert nnops.stem_pack_enabled()
+        params = model.init_params(jax.random.PRNGKey(0), batch)
+        total_ref, (m_ref, fake_ref) = model.losses(params, batch)
+        encode.INTERPRET = True
+        pcfg.set_encode_kernel(3)
+        try:
+            total_pl, (m_pl, fake_pl) = model.losses(params, batch)
+            # d_losses path (pool split-step) with tuple cond
+            ld, md = model.d_losses(params, batch, jax.lax.stop_gradient(fake_pl))
+        finally:
+            encode.INTERPRET = False
+            pcfg.set_encode_kernel(0)
+        np.testing.assert_allclose(
+            np.asarray(fake_pl), np.asarray(fake_ref), atol=1e-5, rtol=1e-5
+        )
+        for k in m_ref:
+            np.testing.assert_allclose(
+                float(m_pl[k]), float(m_ref[k]), atol=1e-5, rtol=1e-5
+            )
+        assert np.isfinite(float(ld))
+    finally:
+        nnops.set_default_precision("highest")
