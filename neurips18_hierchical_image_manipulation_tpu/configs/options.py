@@ -50,6 +50,11 @@ class BaseOptions:
     no_flip: bool = False
     nThreads: int = 2
     max_dataset_size: int = 2**31 - 1
+    # host-pipeline backend: "threads" (data/loader.py thread pool) or
+    # "grain" (data/grain_pipeline.py — checkpointable iterators +
+    # process-parallel decode via --grain_workers; SURVEY §4.5)
+    data_backend: str = "threads"
+    grain_workers: int = 0
     # decode-once .npy sidecar cache for the aligned reader (new vs the
     # reference: PNG inflate dominates weak TPU-host CPUs; see
     # data/cityscapes._open_cached and tools/bench_loop.py)

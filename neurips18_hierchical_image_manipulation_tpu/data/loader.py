@@ -129,6 +129,16 @@ def CreateDataLoader(opt, records=None):
                 shuffle=not opt.serial_batches,
                 seed=getattr(opt, "seed", 0),
             )
+    if getattr(opt, "data_backend", "threads") == "grain":
+        from .grain_pipeline import GrainLoader
+
+        return GrainLoader(
+            ds,
+            batch_size=opt.batchSize,
+            shuffle=not opt.serial_batches,
+            seed=getattr(opt, "seed", 0),
+            num_workers=getattr(opt, "grain_workers", 0),
+        )
     return DataLoader(
         ds,
         batch_size=opt.batchSize,

@@ -308,3 +308,67 @@ def test_bbox_dataset_uint8_transfer(dataroot, tmp_path):
         )
         np.testing.assert_array_equal(a["boxmask"], b["boxmask"])
         np.testing.assert_array_equal(a["boxes"], b["boxes"])
+
+
+def test_grain_loader_matches_thread_loader(dataroot, tmp_path):
+    # --data_backend grain must yield the SAME samples as the thread
+    # loader in serial mode (both iterate the dataset in index order
+    # with identical (epoch, index) augmentation seeds)
+    opt_t = m2i_opt(dataroot, str(tmp_path), use_bbox_dataset=False)
+    opt_g = m2i_opt(
+        dataroot, str(tmp_path), use_bbox_dataset=False, data_backend="grain"
+    )
+    bt = list(CreateDataLoader(opt_t))
+    bg = list(CreateDataLoader(opt_g))
+    assert len(bt) == len(bg) == 1
+    for k in ("label", "inst", "image"):
+        np.testing.assert_array_equal(bt[0][k], bg[0][k])
+    assert bg[0]["path"] == bt[0]["path"]
+    # first_batch consumes no epoch/shuffle state
+    fb = CreateDataLoader(opt_g).first_batch()
+    assert fb["label"].shape[0] == 2
+
+
+def test_grain_loader_shuffle_deterministic(dataroot, tmp_path):
+    opt = m2i_opt(
+        dataroot,
+        str(tmp_path),
+        use_bbox_dataset=False,
+        data_backend="grain",
+        serial_batches=False,
+        batchSize=1,
+    )
+    a = [b["path"][0] for b in CreateDataLoader(opt)]
+    b = [b["path"][0] for b in CreateDataLoader(opt)]
+    assert len(a) == 3
+    assert a == b  # same seed + epoch -> same order across loaders
+    loader = CreateDataLoader(opt)
+    e0 = [b["path"][0] for b in loader]
+    e1 = [b["path"][0] for b in loader]
+    assert sorted(e0) == sorted(e1)  # same samples, reshuffled per epoch
+
+
+def test_grain_loader_midepoch_state_resume(dataroot, tmp_path):
+    # grain's iterator checkpoint contract: get_state after batch 1,
+    # set_state on a FRESH iterator -> identical continuation
+    opt = m2i_opt(
+        dataroot,
+        str(tmp_path),
+        use_bbox_dataset=False,
+        data_backend="grain",
+        serial_batches=False,
+        batchSize=1,
+    )
+    loader = CreateDataLoader(opt)
+    it = loader.epoch_iterator(0)
+    first = next(it)
+    state = it.get_state()
+    second = next(it)
+
+    it2 = CreateDataLoader(opt).epoch_iterator(0)
+    it2.set_state(state)
+    second_b = next(it2)
+    np.testing.assert_array_equal(second["label"], second_b["label"])
+    np.testing.assert_array_equal(second["image"], second_b["image"])
+    assert second["path"] == second_b["path"]
+    assert first["path"] != second["path"]
