@@ -15,6 +15,34 @@ import jax
 from jax.sharding import Mesh
 
 
+def make_hybrid_data_mesh(n_slices: int, n_devices: int = 0):
+    """2-D data-parallel mesh ('dcn', 'data') for multi-slice jobs: the
+    leading axis crosses slice boundaries (gradient allreduce rides DCN),
+    the trailing axis stays intra-slice (ICI). On real multi-slice
+    hardware ``mesh_utils.create_hybrid_device_mesh`` orders devices so
+    each 'data' row is one slice; on flat single-slice/CPU device sets
+    (no slice_index attribute) a plain reshape gives the same logical
+    mesh for testing. Batch shards over BOTH axes — use
+    ``train/steps.make_dp_train_step(..., axis=('dcn', 'data'))``.
+    SURVEY §6.8 "multi-host future via jax.distributed + DCN collectives".
+    """
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    n = min(n, len(devs))
+    assert n_slices >= 1 and n % n_slices == 0, (n, n_slices)
+    per_slice = n // n_slices
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (1, per_slice), (n_slices, 1), devices=devs[:n]
+        )
+    except Exception:
+        # virtual/CPU devices carry no slice topology — logical reshape
+        arr = np.array(devs[:n]).reshape(n_slices, per_slice)
+    return Mesh(arr, ("dcn", "data"))
+
+
 def make_data_mesh(opt=None, n_devices: int = 0, batch_size: int = 0):
     """Build the 1-D 'data' mesh, or return None when sharding is not
     applicable (single device, or batch not divisible by device count —

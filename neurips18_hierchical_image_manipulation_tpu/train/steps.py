@@ -168,26 +168,36 @@ def make_pooled_train_steps(model, vgg_params=None, compute_dtype=None):
 
 
 def make_dp_train_step(
-    model, mesh: Mesh, vgg_params=None, axis: str = "data", compute_dtype=None
+    model, mesh: Mesh, vgg_params=None, axis="data", compute_dtype=None
 ):
     """Data-parallel step over ``mesh``: batch sharded on axis 0, params
-    replicated, gradient allreduce via lax.psum (mean) inside shard_map."""
+    replicated, gradient allreduce via lax.psum (mean) inside shard_map.
 
+    ``axis`` may be a tuple of mesh axis names for multi-axis DP — e.g.
+    ``('dcn', 'data')`` on a hybrid multi-slice mesh
+    (parallel/mesh.make_hybrid_data_mesh): the batch shards over the
+    product of the axes and XLA lowers the pmean to a hierarchical
+    allreduce (ICI within a slice, DCN across)."""
+
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
     loss_fn = _make_loss_fn(model, vgg_params, compute_dtype)
 
     def device_step(state, batch):
         rng, sub = jax.random.split(state.rng)
         # decorrelate per-device dropout masks; params/rng stay replicated
-        sub = jax.random.fold_in(sub, lax.axis_index(axis))
+        idx = lax.axis_index(axes[0])
+        for a in axes[1:]:
+            idx = idx * mesh.shape[a] + lax.axis_index(a)
+        sub = jax.random.fold_in(sub, idx)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (metrics, fake)), grads = grad_fn(state.params, batch, sub)
-        grads = lax.pmean(grads, axis)
-        metrics = lax.pmean(metrics, axis)
+        grads = lax.pmean(grads, axes)
+        metrics = lax.pmean(metrics, axes)
         new_state = state.apply_gradients(grads).replace(rng=rng)
         return new_state, metrics, fake
 
     replicated = P()
-    batch_sharded = P(axis)
+    batch_sharded = P(axes)
     sharded_step = jax.shard_map(
         device_step,
         mesh=mesh,
@@ -203,9 +213,11 @@ def make_dp_train_step(
     return step
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host batch onto the mesh, sharded along the batch axis."""
-    sharding = NamedSharding(mesh, P(axis))
+def shard_batch(batch, mesh: Mesh, axis="data"):
+    """Place a host batch onto the mesh, sharded along the batch axis
+    (``axis`` may be a tuple of mesh axes, e.g. ('dcn', 'data'))."""
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    sharding = NamedSharding(mesh, P(axes))
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -260,3 +260,32 @@ def test_cast_batch_preserves_box_coordinates():
     assert out["image"].dtype == jnp.bfloat16
     assert out["boxes"].dtype == jnp.float32
     np.testing.assert_array_equal(np.asarray(out["boxes"]), np.asarray(batch["boxes"]))
+
+
+def test_hybrid_dcn_mesh_dp_matches_single_device(rng):
+    """Multi-slice DP (SURVEY §6.8): the 2-D ('dcn', 'data') hybrid mesh
+    from make_hybrid_data_mesh with the batch sharded over BOTH axes and
+    pmean over both must equal the single-device step on the concat
+    batch (hierarchical DCN+ICI allreduce correctness)."""
+    from neurips18_hierchical_image_manipulation_tpu.parallel.mesh import (
+        make_hybrid_data_mesh,
+    )
+
+    mesh = make_hybrid_data_mesh(n_slices=2, n_devices=8)
+    assert mesh.axis_names == ("dcn", "data") and mesh.devices.shape == (2, 4)
+
+    opt = tiny_m2i_opt(num_D=1, n_layers_D=2, no_ganFeat_loss=True)
+    model, state, batch = make_m2i(rng, opt=opt, hw=(32, 32), bs=8, tx=optax.sgd(0.1))
+
+    single = train_steps.make_train_step(model, donate=False)
+    s1, m1, _ = single(state, batch)
+
+    dp = train_steps.make_dp_train_step(model, mesh, axis=("dcn", "data"))
+    state_r = train_steps.replicate(state, mesh)
+    batch_s = train_steps.shard_batch(batch, mesh, axis=("dcn", "data"))
+    s2, m2, _ = dp(state_r, batch_s)
+
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-3, atol=2e-4)
+    for a, b in zip(jax.tree.leaves(s1.params["G"]), jax.tree.leaves(s2.params["G"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
