@@ -372,3 +372,19 @@ def test_grain_loader_midepoch_state_resume(dataroot, tmp_path):
     np.testing.assert_array_equal(second["image"], second_b["image"])
     assert second["path"] == second_b["path"]
     assert first["path"] != second["path"]
+
+
+def test_grain_loader_bbox_path(dataroot, tmp_path):
+    # grain backend composes with the bbox-crop dataset family too
+    opt_t = m2i_opt(dataroot, str(tmp_path), use_bbox_dataset=True,
+                    fineSize=32, min_box_size=4)
+    opt_g = m2i_opt(dataroot, str(tmp_path), use_bbox_dataset=True,
+                    fineSize=32, min_box_size=4, data_backend="grain")
+    bt = list(CreateDataLoader(opt_t))
+    bg = list(CreateDataLoader(opt_g))
+    assert len(bt) == len(bg) >= 1
+    for k in bt[0]:
+        if isinstance(bt[0][k], list):
+            assert bt[0][k] == bg[0][k]
+        else:
+            np.testing.assert_array_equal(bt[0][k], bg[0][k])
