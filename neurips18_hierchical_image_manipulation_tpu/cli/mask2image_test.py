@@ -60,11 +60,14 @@ def main(argv=None):
             # §6.7): conditioning is built with the literal (unpacked)
             # encode, then every generator layer runs on W shards with
             # ppermute halos (parallel/spatial.py).
-            assert opt.netG == "global", "--spatial_shards needs netG=global"
+            assert opt.netG in ("global", "local"), (
+                "--spatial_shards needs netG=global or local"
+            )
             assert not model.use_features(), (
                 "--spatial_shards is incompatible with encoder features"
             )
-            from jax.sharding import Mesh
+            from jax.sharding import Mesh, NamedSharding
+            from jax.sharding import PartitionSpec as P
 
             from ..ops import boxcomposite, onehot_edges
             from ..parallel import spatial
@@ -74,15 +77,30 @@ def main(argv=None):
                 f"need {opt.spatial_shards} devices, have {len(jax.devices())}"
             )
             mesh = Mesh(devs, ("data",))
-            sp = spatial.make_spatial_generator(
-                mesh,
-                params["G"],
-                n_downsampling=opt.n_downsample_global,
-                n_blocks=opt.n_blocks_global,
-            )
+            if opt.netG == "local":
+                sp = spatial.make_spatial_local_enhancer(
+                    mesh,
+                    params["G"],
+                    n_downsample_global=opt.n_downsample_global,
+                    n_blocks_global=opt.n_blocks_global,
+                    n_local_enhancers=opt.n_local_enhancers,
+                    n_blocks_local=opt.n_blocks_local,
+                )
+            else:
+                sp = spatial.make_spatial_generator(
+                    mesh,
+                    params["G"],
+                    n_downsampling=opt.n_downsample_global,
+                    n_blocks=opt.n_blocks_global,
+                )
             print(f"spatial inference: W sharded over {opt.spatial_shards} devices")
+            wspec = NamedSharding(mesh, P(None, None, "data", None))
 
-            def fwd(_p, b):
+            # ONE jitted program per batch: the conditioning build is
+            # constrained to the same W sharding as the generator, so the
+            # full-res one-hot never materializes on a single device and
+            # there is no per-batch eager dispatch
+            def fwd_impl(_p, b):
                 inst = None if opt.no_instance else b["inst"]
                 img = b.get("image")
                 if img is not None and img.dtype == jnp.uint8:
@@ -94,9 +112,10 @@ def main(argv=None):
                     )
                 else:
                     g = onehot_edges.encode_input(b["label"], inst, opt.label_nc)
+                g = jax.lax.with_sharding_constraint(g, wspec)
                 return sp(g)
 
-            return fwd
+            return jax.jit(fwd_impl)
         return jax.jit(lambda p, b: model.inference(p, b))
 
     params = None

@@ -257,10 +257,12 @@ class MaskToImageTestOptions(TestOptions):
     min_box_size: int = 16
     max_box_size: int = 10_000
     # >1: run the generator with W-sharded activations over that many
-    # devices (parallel/spatial.py make_spatial_generator — the SURVEY
-    # §6.7 escape hatch for resolutions exceeding one chip's HBM).
-    # netG=global, no encoder features; W/spatial_shards must be a
-    # multiple of 2**n_downsample_global.
+    # devices (parallel/spatial.py make_spatial_generator /
+    # make_spatial_local_enhancer — the SURVEY §6.7 escape hatch for
+    # resolutions exceeding one chip's HBM). netG=global or local, no
+    # encoder features; per-shard W must be a multiple of
+    # 2**n_downsample_global (global) or 2**(n_local_enhancers +
+    # n_downsample_global) (local), with bottleneck width >= 2.
     spatial_shards: int = 0
 
 

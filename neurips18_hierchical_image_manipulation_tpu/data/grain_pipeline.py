@@ -33,20 +33,13 @@ CPU decode, not the axon H2D tunnel, is the bottleneck.
 
 from __future__ import annotations
 
-from typing import Dict, Iterator, List
+from typing import Dict, Iterator
 
 import numpy as np
 
-
-def _collate(samples: List[Dict]) -> Dict[str, np.ndarray]:
-    out = {}
-    for key in samples[0]:
-        vals = [s[key] for s in samples]
-        if isinstance(vals[0], str):
-            out[key] = vals
-        else:
-            out[key] = np.stack(vals)
-    return out
+# single batch-format definition for both backends (loader.py only
+# imports this module lazily inside CreateDataLoader — no cycle)
+from .loader import _collate
 
 
 class GrainLoader:

@@ -194,6 +194,9 @@ def encode_packed(label, inst, image, boxes, nc, dtype=jnp.bfloat16):
     onehot_edges.encode_input_rgb_packed on reflect-padded components with
     rgb = boxcomposite.mask_box(image, boxes)."""
     b, h, w = label.shape
+    assert h % 2 == 0 and w % 2 == 0, (
+        f"encode_packed needs even H/W for the s2d2 phase split, got {h}x{w}"
+    )
     h2, w2 = (h + 6) // 2, (w + 6) // 2
     nco = nc + 4
     kern = functools.partial(

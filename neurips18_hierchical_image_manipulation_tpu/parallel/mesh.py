@@ -31,14 +31,21 @@ def make_hybrid_data_mesh(n_slices: int, n_devices: int = 0):
     n = min(n, len(devs))
     assert n_slices >= 1 and n % n_slices == 0, (n, n_slices)
     per_slice = n // n_slices
-    try:
+    if getattr(devs[0], "slice_index", None) is not None:
+        # real multi-slice topology: let mesh_utils order devices so each
+        # 'data' row stays within one slice. Errors here are real
+        # misconfigurations (e.g. n_slices not matching the actual slice
+        # count) and must propagate — a reshape fallback would silently
+        # route the per-step allreduce across DCN on the ICI axis.
         from jax.experimental import mesh_utils
 
         arr = mesh_utils.create_hybrid_device_mesh(
             (1, per_slice), (n_slices, 1), devices=devs[:n]
         )
-    except Exception:
-        # virtual/CPU devices carry no slice topology — logical reshape
+    else:
+        # flat device set (single slice / CPU / virtual): no slice
+        # topology to respect — logical reshape gives the same mesh shape
+        # for testing the multi-axis sharding
         arr = np.array(devs[:n]).reshape(n_slices, per_slice)
     return Mesh(arr, ("dcn", "data"))
 

@@ -26,31 +26,6 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 
-def _halo_from_neighbors(x, halo: int, axis_name: str):
-    """Collect the rightmost ``halo`` columns of the LEFT neighbour and the
-    leftmost of the RIGHT neighbour (zero-padded at the mesh edges)."""
-    n_dev = lax.axis_size(axis_name)
-    idx = lax.axis_index(axis_name)
-
-    right_edge = x[:, :, -halo:, :]  # what our RIGHT neighbour needs
-    left_edge = x[:, :, :halo, :]  # what our LEFT neighbour needs
-
-    # send right_edge to the right neighbour (it becomes their left halo)
-    from_left = lax.ppermute(
-        right_edge, axis_name, [(i, (i + 1) % n_dev) for i in range(n_dev)]
-    )
-    # send left_edge to the left neighbour (their right halo)
-    from_right = lax.ppermute(
-        left_edge, axis_name, [(i, (i - 1) % n_dev) for i in range(n_dev)]
-    )
-    # zero the wrapped-around edges (conv padding semantics, not circular)
-    from_left = jnp.where(idx == 0, jnp.zeros_like(from_left), from_left)
-    from_right = jnp.where(
-        idx == n_dev - 1, jnp.zeros_like(from_right), from_right
-    )
-    return from_left, from_right
-
-
 def halo_exchange_conv2d(x, w, b=None, *, padding: int, axis_name: str = "data"):
     """Stride-1 conv over W-sharded NHWC activations with ppermute halos.
 
@@ -60,9 +35,8 @@ def halo_exchange_conv2d(x, w, b=None, *, padding: int, axis_name: str = "data")
     """
     kh, kw = w.shape[0], w.shape[1]
     assert kw == 2 * padding + 1, "halo conv expects symmetric odd kernels"
-    halo = padding
-    from_left, from_right = _halo_from_neighbors(x, halo, axis_name)
-    widened = jnp.concatenate([from_left, x, from_right], axis=2)
+    # zero-filled global edges = the unsharded conv's zero padding
+    widened = _exchange_lr(x, padding, padding, axis_name)
     # H axis is unsharded: normal symmetric padding there; W is VALID over
     # the widened slab (halos supply the cross-shard columns)
     y = lax.conv_general_dilated(
@@ -317,13 +291,18 @@ def make_spatial_generator(
     """Jitted W-sharded GlobalGenerator inference: full (N,H,W,C) in,
     full (N,H,W,output_nc) out, activations sharded over ``axis``.
 
-    Requirements: W / n_devices divisible by 2**n_downsampling, and the
-    bottleneck per-shard width >= 4 (the stem's reflect-3 halo)."""
+    Requirements: W / n_devices divisible by 2**n_downsampling, per-shard
+    W >= 4 (stem reflect-3 halo), bottleneck per-shard width >= 2
+    (resblock reflect-1 edge fill)."""
 
     def inner(x_shard, params):
         ws = x_shard.shape[2]
-        assert ws % (2 ** n_downsampling) == 0 and ws // (2 ** n_downsampling) >= 1, (
-            f"per-shard W {ws} incompatible with {n_downsampling} downs"
+        # bottleneck per-shard width must be >= 2: the resblocks' reflect-1
+        # edge fill slices x[:, :, 1:2], which is EMPTY at width 1 and the
+        # output silently collapses to width 0 (no error)
+        assert ws % (2 ** n_downsampling) == 0 and ws // (2 ** n_downsampling) >= 2, (
+            f"per-shard W {ws} incompatible with {n_downsampling} downs "
+            f"(bottleneck width must be >= 2)"
         )
         assert ws >= 4, "stem reflect-3 halo needs per-shard W >= 4"
         return spatial_generator_forward(
@@ -350,8 +329,11 @@ def make_spatial_local_enhancer(
     def inner(x_shard, params):
         ws = x_shard.shape[2]
         need = 2 ** (n_local_enhancers + n_downsample_global)
-        assert ws % need == 0 and ws >= 8, (
-            f"per-shard W {ws} incompatible (need multiple of {need}, >= 8)"
+        # trunk bottleneck per-shard width >= 2 (same silent-collapse
+        # hazard as make_spatial_generator)
+        assert ws % need == 0 and ws // need >= 2 and ws >= 8, (
+            f"per-shard W {ws} incompatible (need multiple of {need}, "
+            f"bottleneck >= 2, ws >= 8)"
         )
         return spatial_local_enhancer_forward(
             params, x_shard, n_downsample_global=n_downsample_global,

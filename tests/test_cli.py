@@ -182,3 +182,41 @@ def test_mask2image_spatial_shards_cli(dataroot, tmp_path):
         str(tmp_path), "results_sp", "m2i_sp", "test_latest", "index.html"
     )
     assert os.path.exists(out)
+
+
+def test_mask2image_spatial_shards_local_cli(dataroot, tmp_path):
+    """--spatial_shards with netG=local: the 1024p coarse-to-fine model —
+    the model spatial sharding exists for — W-sharded through the real
+    test driver."""
+    import jax as _jax
+
+    if len(_jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs a multi-device mesh")
+    from neurips18_hierchical_image_manipulation_tpu.cli import (
+        mask2image_test,
+        mask2image_train,
+    )
+
+    arch = [
+        "--netG", "local", "--n_local_enhancers", "1",
+        "--n_blocks_local", "1",
+    ]
+    flags = common_flags(dataroot, tmp_path, "m2i_sp_loc") + arch + [
+        "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "1", "--display_freq", "4",
+        "--save_epoch_freq", "1", "--save_latest_freq", "4",
+        "--no_vgg_loss",
+    ]
+    mask2image_train.main(flags)
+    test_flags = common_flags(dataroot, tmp_path, "m2i_sp_loc") + arch + [
+        "--results_dir", os.path.join(str(tmp_path), "results_sp_loc"),
+        "--how_many", "1",
+        "--spatial_shards", "2",
+    ]
+    mask2image_test.main(test_flags)
+    out = os.path.join(
+        str(tmp_path), "results_sp_loc", "m2i_sp_loc", "test_latest", "index.html"
+    )
+    assert os.path.exists(out)

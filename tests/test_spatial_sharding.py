@@ -138,3 +138,25 @@ def test_spatial_local_enhancer_matches_unsharded():
         nnops.set_default_precision("highest")
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_spatial_generator_rejects_width1_bottleneck():
+    """A per-shard bottleneck width of 1 used to silently produce an
+    EMPTY output (the resblock reflect-1 edge slice is width-0); the
+    guard must reject it at trace time."""
+    import pytest
+    from jax.sharding import Mesh
+
+    from neurips18_hierchical_image_manipulation_tpu.models import networks
+    from neurips18_hierchical_image_manipulation_tpu.parallel import spatial
+
+    devs = np.array(jax.devices()[:2])
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = Mesh(devs, ("data",))
+    net = networks.GlobalGenerator(output_nc=3, ngf=8, n_downsampling=2, n_blocks=1)
+    x = jnp.zeros((1, 16, 8, 5), jnp.float32)  # per-shard ws=4 -> bottleneck 1
+    params = net.init(jax.random.PRNGKey(0), x)
+    fn = spatial.make_spatial_generator(mesh, params, n_downsampling=2, n_blocks=1)
+    with pytest.raises(AssertionError, match="bottleneck"):
+        fn(x)
