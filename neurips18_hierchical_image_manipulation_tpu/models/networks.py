@@ -8,7 +8,11 @@ All modules are NHWC (TPU lanes = channels). Weight init matches the
 reference's ``weights_init``: conv kernels ~ N(0, 0.02); biases are zero
 (torch leaves bias at its default uniform init — a deliberate, documented
 divergence that only affects fresh-training init noise, not loaded
-checkpoints). Norm layers are InstanceNorm(affine=False) — no params.
+checkpoints). ``--norm instance`` (the reference default) is
+InstanceNorm(affine=False) — parameterless; ``--norm batch`` is
+BatchNorm2d(affine=True) with gamma ~ N(1, 0.02), beta = 0, owned by the
+named ``NormAct`` submodules (batch statistics always — see
+nnops.batch_norm).
 
 Checkpoint converters map torch (out,in,kh,kw) conv weights to our HWIO and
 torch (in,out,kh,kw) transposed-conv weights to our HWIO (see
@@ -162,6 +166,41 @@ def norm_act(x, norm: str = "instance", act: str = "relu"):
     return x
 
 
+def _bn_scale_init(key, shape, dtype=jnp.float32):
+    # reference weights_init for norm layers: gamma ~ N(1.0, 0.02)
+    import jax
+
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+class NormAct(nn.Module):
+    """``get_norm_layer`` twin as a module so batch norm can own params.
+
+    * ``instance``: InstanceNorm2d(affine=False) — parameterless; the
+      module leaves NO trace in the param tree, so every existing
+      instance-norm checkpoint is unchanged (delegates to ``norm_act``,
+      including its fused-Pallas path).
+    * ``batch``: BatchNorm2d(affine=True) with BATCH statistics always
+      (see nnops.batch_norm — pix2pixHD never calls .eval(), so batch
+      stats are its observable inference behavior too). gamma ~ N(1,.02),
+      beta = 0 per the reference's ``weights_init``.
+    * ``none``: activation only.
+    """
+
+    norm: str = "instance"
+    act: str = "relu"
+
+    @nn.compact
+    def __call__(self, x):
+        if self.norm == "batch":
+            c = x.shape[-1]
+            scale = self.param("scale", _bn_scale_init, (c,))
+            bias = self.param("bias", zeros_init, (c,))
+            x = nnops.batch_norm(x, scale, bias)
+            return norm_act(x, "none", self.act)
+        return norm_act(x, self.norm, self.act)
+
+
 class ResnetBlock(nn.Module):
     """ReflectPad1 -> Conv3x3 -> IN -> ReLU -> [Dropout(0.5)] ->
     ReflectPad1 -> Conv3x3 -> IN; residual add. Dropout sits between the
@@ -177,7 +216,7 @@ class ResnetBlock(nn.Module):
         db = self.norm == "instance"
         h = nnops.reflect_pad(x, 1)
         h = Conv(self.dim, 3, name="conv1", dead_bias=db)(h)
-        h = norm_act(h, self.norm, "relu")
+        h = NormAct(self.norm, "relu", name="norm1")(h)
         if self.dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = nnops.reflect_pad(h, 1)
@@ -189,6 +228,8 @@ class ResnetBlock(nn.Module):
             if pallas_config.enabled():
                 return fused_instance_norm(h, residual=x)
             h = nnops.instance_norm(h)
+        elif self.norm == "batch":
+            h = NormAct("batch", "none", name="norm2")(h)
         return x + h
 
 
@@ -230,10 +271,10 @@ class GlobalGenerator(nn.Module):
             h = nnops.reflect_pad(x, 3)
             h2 = nnops.reflect_pad(x2, 3) if x2 is not None else None
             h = Conv(self.ngf, 7, name="conv_in", dead_bias=db)(h, h2)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name="norm_in")(h)
         for i in range(start, self.n_downsampling):
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name=f"norm_down{i}")(h)
         block_cls = (
             nn.remat(ResnetBlock, static_argnums=(2,)) if self.remat else ResnetBlock
         )
@@ -247,7 +288,7 @@ class GlobalGenerator(nn.Module):
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             h = ConvTranspose(self.ngf * mult // 2, name=f"up{i}", dead_bias=db)(h)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name=f"norm_up{i}")(h)
         h = nnops.reflect_pad(h, 3)
         h = Conv(self.output_nc, 7, name="conv_out")(h)
         return jnp.tanh(h)
@@ -269,10 +310,10 @@ class _GlobalBackbone(nn.Module):
         h = nnops.reflect_pad(x, 3)
         h2 = nnops.reflect_pad(x2, 3) if x2 is not None else None
         h = Conv(self.ngf, 7, name="conv_in", dead_bias=db)(h, h2)
-        h = norm_act(h, self.norm)
+        h = NormAct(self.norm, "relu", name="norm_in")(h)
         for i in range(self.n_downsampling):
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name=f"norm_down{i}")(h)
         for i in range(self.n_blocks):
             h = ResnetBlock(
                 self.ngf * 2**self.n_downsampling,
@@ -283,7 +324,7 @@ class _GlobalBackbone(nn.Module):
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             h = ConvTranspose(self.ngf * mult // 2, name=f"up{i}", dead_bias=db)(h)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name=f"norm_up{i}")(h)
         return h
 
 
@@ -334,16 +375,16 @@ class LocalEnhancer(nn.Module):
             h = nnops.reflect_pad(inp, 3)
             h2 = nnops.reflect_pad(inp2, 3) if inp2 is not None else None
             h = Conv(ngf_n, 7, name=f"local{n}_conv_in", dead_bias=db)(h, h2)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name=f"local{n}_norm_in")(h)
             h = Conv(ngf_n * 2, 3, stride=2, padding=1, name=f"local{n}_down", dead_bias=db)(h)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name=f"local{n}_norm_down")(h)
             h = h + out  # fuse trunk features
             for i in range(self.n_blocks_local):
                 h = ResnetBlock(
                     ngf_n * 2, self.norm, self.dropout, name=f"local{n}_res{i}"
                 )(h, train)
             h = ConvTranspose(ngf_n, name=f"local{n}_up", dead_bias=db)(h)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name=f"local{n}_norm_up")(h)
             out = h
 
         out = nnops.reflect_pad(out, 3)
@@ -375,11 +416,11 @@ class NLayerDiscriminator(nn.Module):
         for n in range(1, self.n_layers):
             nf = min(nf * 2, 512)
             h = Conv(nf, 4, stride=2, padding=padw, name=f"layer{n}", dead_bias=db)(h)
-            h = norm_act(h, self.norm, "lrelu")
+            h = NormAct(self.norm, "lrelu", name=f"norm{n}")(h)
             feats.append(h)
         nf = min(nf * 2, 512)
         h = Conv(nf, 4, stride=1, padding=padw, name=f"layer{self.n_layers}", dead_bias=db)(h)
-        h = norm_act(h, self.norm, "lrelu")
+        h = NormAct(self.norm, "lrelu", name=f"norm{self.n_layers}")(h)
         feats.append(h)
         h = Conv(1, 4, stride=1, padding=padw, name=f"layer{self.n_layers + 1}")(h)
         feats.append(h)
@@ -454,14 +495,14 @@ class Encoder(nn.Module):
         db = self.norm == "instance"
         h = nnops.reflect_pad(img, 3)
         h = Conv(self.nef, 7, name="conv_in", dead_bias=db)(h)
-        h = norm_act(h, self.norm)
+        h = NormAct(self.norm, "relu", name="norm_in")(h)
         for i in range(self.n_downsampling):
             h = Conv(self.nef * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name=f"norm_down{i}")(h)
         for i in range(self.n_downsampling):
             mult = 2 ** (self.n_downsampling - i)
             h = ConvTranspose(self.nef * mult // 2, name=f"up{i}", dead_bias=db)(h)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name=f"norm_up{i}")(h)
         h = nnops.reflect_pad(h, 3)
         h = Conv(self.feat_num, 7, name="conv_out")(h)
         h = jnp.tanh(h)
@@ -578,12 +619,12 @@ class TwoStreamStructureGenerator(nn.Module):
         x = jnp.concatenate([masked_layout, boxmask], axis=-1)
         h = nnops.reflect_pad(x, 3)
         h = Conv(self.ngf, 7, name="enc_in", dead_bias=db)(h)
-        h = norm_act(h, self.norm)
+        h = NormAct(self.norm, "relu", name="enc_norm_in")(h)
         skips = []
         for i in range(self.n_downsampling):
             skips.append(h)
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"enc_down{i}", dead_bias=db)(h)
-            h = norm_act(h, self.norm)
+            h = NormAct(self.norm, "relu", name=f"enc_norm_down{i}")(h)
 
         # class conditioning at the bottleneck: tile one-hot class over space
         b, hh, ww, _ = h.shape
@@ -593,7 +634,7 @@ class TwoStreamStructureGenerator(nn.Module):
         h = Conv(self.ngf * 2**self.n_downsampling, 1, name="cls_fuse", dead_bias=db)(
             jnp.concatenate([h, cls], axis=-1)
         )
-        h = norm_act(h, self.norm)
+        h = NormAct(self.norm, "relu", name="cls_norm")(h)
         for i in range(self.n_blocks):
             h = ResnetBlock(self.ngf * 2**self.n_downsampling, self.norm, name=f"res{i}")(h)
 
@@ -601,7 +642,7 @@ class TwoStreamStructureGenerator(nn.Module):
             for i in range(self.n_downsampling):
                 mult = 2 ** (self.n_downsampling - i)
                 h = ConvTranspose(self.ngf * mult // 2, name=f"{tag}_up{i}", dead_bias=db)(h)
-                h = norm_act(h, self.norm)
+                h = NormAct(self.norm, "relu", name=f"{tag}_norm_up{i}")(h)
                 h = h + skips[self.n_downsampling - 1 - i]  # U-Net skip (add)
             h = nnops.reflect_pad(h, 3)
             return Conv(out_nc, 7, name=f"{tag}_out")(h)

@@ -940,6 +940,31 @@ def reflect_pad(x, pad):
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+def batch_norm(x, scale=None, bias=None, *, eps=1e-5):
+    """torch.nn.BatchNorm2d(affine=True) in TRAIN mode: per-channel
+    standardize over (N,H,W), biased variance, eps inside the sqrt, then
+    the learned affine. The reference's ``--norm batch`` maps to
+    ``get_norm_layer('batch')`` = BatchNorm2d(affine=True) [L].
+
+    Batch statistics are ALWAYS used: pix2pixHD never calls ``.eval()``
+    (its test drivers run modules in train mode), so batch stats govern
+    the reference's inference too — running averages are dead state there
+    and deliberately not tracked here (documented divergence with zero
+    observable effect through the reference's own drivers).
+
+    Statistics accumulate in fp32 under the bf16 policy (same rationale
+    as instance_norm: NHW-sized reductions exceed bf16 mantissa)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(0, 1, 2), keepdims=True)
+    y = (xf - mean) * lax.rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
 def leaky_relu(x, negative_slope=0.2):
     return jnp.where(x >= 0, x, x * negative_slope)
 

@@ -158,6 +158,94 @@ def test_local_enhancer_parity(rng):
     )
 
 
+def test_batch_norm_op_vs_torch(rng):
+    """nnops.batch_norm == torch.nn.functional.batch_norm(training=True)
+    (biased variance over (N,H,W), eps 1e-5, affine)."""
+    import torch.nn.functional as F
+
+    x = rng.randn(3, 10, 14, 6).astype(np.float32)
+    scale = rng.randn(6).astype(np.float32)
+    bias = rng.randn(6).astype(np.float32)
+    ref = F.batch_norm(
+        torch.from_numpy(x.transpose(0, 3, 1, 2)), None, None,
+        weight=torch.from_numpy(scale), bias=torch.from_numpy(bias),
+        training=True, eps=1e-5,
+    ).numpy()
+
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+
+    got = nnops.batch_norm(jnp.asarray(x), jnp.asarray(scale), jnp.asarray(bias))
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), ref, atol=ATOL, rtol=1e-4
+    )
+
+
+def test_global_generator_batch_norm_parity(rng):
+    """--norm batch fp32 parity: GlobalGenerator with BatchNorm2d(affine)
+    vs the torch oracle (batch statistics — see torch_oracle.BN)."""
+    from torch_oracle import BN
+
+    torch.manual_seed(4)
+    n_down, n_blocks, ngf, label_nc = 2, 2, 8, 6
+    t = GlobalGeneratorT(
+        label_nc, 3, ngf=ngf, n_down=n_down, n_blocks=n_blocks, norm=BN
+    ).eval()
+    # give the affine params non-trivial values (reference weights_init)
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.normal_(1.0, 0.02)
+                m.bias.normal_(0.0, 0.1)
+    x = rng.randn(2, label_nc, 32, 48).astype(np.float32)
+    with torch.no_grad():
+        ref = t(torch.from_numpy(x)).numpy()
+
+    g = networks.GlobalGenerator(
+        output_nc=3, ngf=ngf, n_downsampling=n_down, n_blocks=n_blocks,
+        norm="batch",
+    )
+    params = global_generator_params(t, n_down=n_down, n_blocks=n_blocks)
+    got = g.apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), ref, atol=ATOL, rtol=1e-4
+    )
+    # init sanity: the flax init tree has the same structure as the mapping
+    init = g.init(jax.random.PRNGKey(0), jnp.asarray(x.transpose(0, 2, 3, 1)))
+    assert jax.tree_util.tree_structure(init) == jax.tree_util.tree_structure(
+        jax.tree.map(jnp.asarray, params)
+    )
+
+
+def test_nlayer_discriminator_batch_norm_parity(rng):
+    from torch_oracle import BN
+
+    torch.manual_seed(5)
+    in_nc, ndf, n_layers = 5, 8, 3
+    t = NLayerDiscriminatorT(in_nc, ndf=ndf, n_layers=n_layers, norm=BN).eval()
+    with torch.no_grad():
+        for m in t.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.weight.normal_(1.0, 0.02)
+                m.bias.normal_(0.0, 0.1)
+    x = rng.randn(2, in_nc, 36, 40).astype(np.float32)
+    with torch.no_grad():
+        ref_feats = [f.numpy() for f in t(torch.from_numpy(x))]
+
+    d = networks.NLayerDiscriminator(
+        ndf=ndf, n_layers=n_layers, get_interm_feat=True, norm="batch"
+    )
+    params = {"params": nlayer_discriminator_params(t)}
+    got_feats = d.apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    for got, ref in zip(got_feats, ref_feats):
+        np.testing.assert_allclose(
+            np.asarray(got).transpose(0, 3, 1, 2), ref, atol=ATOL, rtol=1e-4
+        )
+
+
 def test_encoder_parity(rng):
     """fp32 parity for the instance-feature Encoder incl. instance-wise
     average pooling (VERDICT r1 weak#4)."""

@@ -74,6 +74,30 @@ def test_mask2image_train_step_runs_and_improves(rng):
     assert not np.allclose(np.asarray(k0), np.asarray(k1))
 
 
+def test_mask2image_train_step_norm_batch(rng):
+    """--norm batch end-to-end: init + one train step with BatchNorm G/D
+    (affine params live under the named NormAct submodules, conv biases
+    are real, packed-stem fast path auto-disabled)."""
+    model, state, batch = make_m2i(rng, opt=tiny_m2i_opt(norm="batch"))
+    # the norm params exist and carry the reference init (gamma ~ 1)
+    g_norm = state.params["G"]["params"]["norm_in"]
+    assert g_norm["scale"].shape == (8,)
+    assert abs(float(np.mean(np.asarray(g_norm["scale"]))) - 1.0) < 0.05
+    step = train_steps.make_train_step(model, donate=False)
+    s, metrics, fake = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    assert fake.shape == batch["image"].shape
+    # the batch-norm affine params receive gradient and move
+    s2, _, _ = step(s, batch)
+    g0 = state.params["G"]["params"]["norm_in"]["scale"]
+    g2 = s2.params["G"]["params"]["norm_in"]["scale"]
+    assert not np.allclose(np.asarray(g0), np.asarray(g2))
+    d0 = state.params["D"]["params"]["scale0"]["norm1"]["scale"]
+    d2 = s2.params["D"]["params"]["scale0"]["norm1"]["scale"]
+    assert not np.allclose(np.asarray(d0), np.asarray(d2))
+
+
 def test_box2mask_train_step(rng):
     opt = BoxToMaskTrainOptions(
         name="t",

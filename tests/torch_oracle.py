@@ -15,12 +15,20 @@ def IN(ch):
     return nn.InstanceNorm2d(ch, affine=False, eps=1e-5, track_running_stats=False)
 
 
+def BN(ch):
+    """--norm batch: BatchNorm2d(affine=True). track_running_stats=False so
+    the oracle always normalizes by batch statistics — identical to the
+    reference's observable behavior (pix2pixHD never calls .eval(), so its
+    modules run in train mode everywhere and use batch stats)."""
+    return nn.BatchNorm2d(ch, affine=True, eps=1e-5, track_running_stats=False)
+
+
 class ResnetBlockT(nn.Module):
-    def __init__(self, dim):
+    def __init__(self, dim, norm=IN):
         super().__init__()
         self.block = nn.Sequential(
-            nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3), IN(dim), nn.ReLU(True),
-            nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3), IN(dim),
+            nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3), norm(dim), nn.ReLU(True),
+            nn.ReflectionPad2d(1), nn.Conv2d(dim, dim, 3), norm(dim),
         )
 
     def forward(self, x):
@@ -28,20 +36,20 @@ class ResnetBlockT(nn.Module):
 
 
 class GlobalGeneratorT(nn.Module):
-    def __init__(self, input_nc, output_nc, ngf=64, n_down=4, n_blocks=9):
+    def __init__(self, input_nc, output_nc, ngf=64, n_down=4, n_blocks=9, norm=IN):
         super().__init__()
-        layers = [nn.ReflectionPad2d(3), nn.Conv2d(input_nc, ngf, 7), IN(ngf), nn.ReLU(True)]
+        layers = [nn.ReflectionPad2d(3), nn.Conv2d(input_nc, ngf, 7), norm(ngf), nn.ReLU(True)]
         for i in range(n_down):
             cin, cout = ngf * 2**i, ngf * 2 ** (i + 1)
-            layers += [nn.Conv2d(cin, cout, 3, stride=2, padding=1), IN(cout), nn.ReLU(True)]
+            layers += [nn.Conv2d(cin, cout, 3, stride=2, padding=1), norm(cout), nn.ReLU(True)]
         for _ in range(n_blocks):
-            layers += [ResnetBlockT(ngf * 2**n_down)]
+            layers += [ResnetBlockT(ngf * 2**n_down, norm)]
         for i in range(n_down):
             cin = ngf * 2 ** (n_down - i)
             cout = cin // 2
             layers += [
                 nn.ConvTranspose2d(cin, cout, 3, stride=2, padding=1, output_padding=1),
-                IN(cout), nn.ReLU(True),
+                norm(cout), nn.ReLU(True),
             ]
         layers += [nn.ReflectionPad2d(3), nn.Conv2d(ngf, output_nc, 7), nn.Tanh()]
         self.model = nn.Sequential(*layers)
@@ -51,7 +59,7 @@ class GlobalGeneratorT(nn.Module):
 
 
 class NLayerDiscriminatorT(nn.Module):
-    def __init__(self, input_nc, ndf=64, n_layers=3):
+    def __init__(self, input_nc, ndf=64, n_layers=3, norm=IN):
         super().__init__()
         padw = 2
         self.stages = nn.ModuleList()
@@ -61,10 +69,10 @@ class NLayerDiscriminatorT(nn.Module):
         for _ in range(1, n_layers):
             nf_prev, nf = nf, min(nf * 2, 512)
             self.stages.append(nn.Sequential(
-                nn.Conv2d(nf_prev, nf, 4, stride=2, padding=padw), IN(nf), nn.LeakyReLU(0.2, True)))
+                nn.Conv2d(nf_prev, nf, 4, stride=2, padding=padw), norm(nf), nn.LeakyReLU(0.2, True)))
         nf_prev, nf = nf, min(nf * 2, 512)
         self.stages.append(nn.Sequential(
-            nn.Conv2d(nf_prev, nf, 4, stride=1, padding=padw), IN(nf), nn.LeakyReLU(0.2, True)))
+            nn.Conv2d(nf_prev, nf, 4, stride=1, padding=padw), norm(nf), nn.LeakyReLU(0.2, True)))
         self.stages.append(nn.Sequential(nn.Conv2d(nf, 1, 4, stride=1, padding=padw)))
 
     def forward(self, x):
@@ -90,22 +98,40 @@ def torch_convT_to_flax(conv: nn.ConvTranspose2d):
     }
 
 
+def torch_bn_to_flax(bn: nn.BatchNorm2d):
+    return {
+        "scale": bn.weight.detach().numpy(),
+        "bias": bn.bias.detach().numpy(),
+    }
+
+
+def _maybe_bn(params, name, layer):
+    if isinstance(layer, nn.BatchNorm2d):
+        params[name] = torch_bn_to_flax(layer)
+
+
 def global_generator_params(t: GlobalGeneratorT, n_down=4, n_blocks=9):
-    """Map GlobalGeneratorT weights onto the flax GlobalGenerator pytree."""
+    """Map GlobalGeneratorT weights onto the flax GlobalGenerator pytree
+    (batch-norm gamma/beta included when the oracle was built with BN)."""
     seq = list(t.model)
     params = {}
     i = 1  # after ReflectionPad
-    params["conv_in"] = torch_conv_to_flax(seq[i]); i += 3
+    params["conv_in"] = torch_conv_to_flax(seq[i])
+    _maybe_bn(params, "norm_in", seq[i + 1]); i += 3
     for d in range(n_down):
-        params[f"down{d}"] = torch_conv_to_flax(seq[i]); i += 3
+        params[f"down{d}"] = torch_conv_to_flax(seq[i])
+        _maybe_bn(params, f"norm_down{d}", seq[i + 1]); i += 3
     for r in range(n_blocks):
         blk = seq[i]; i += 1
         params[f"res{r}"] = {
             "conv1": torch_conv_to_flax(blk.block[1]),
             "conv2": torch_conv_to_flax(blk.block[5]),
         }
+        _maybe_bn(params[f"res{r}"], "norm1", blk.block[2])
+        _maybe_bn(params[f"res{r}"], "norm2", blk.block[6])
     for u in range(n_down):
-        params[f"up{u}"] = torch_convT_to_flax(seq[i]); i += 3
+        params[f"up{u}"] = torch_convT_to_flax(seq[i])
+        _maybe_bn(params, f"norm_up{u}", seq[i + 1]); i += 3
     i += 1  # ReflectionPad
     params["conv_out"] = torch_conv_to_flax(seq[i])
     return {"params": params}
@@ -115,6 +141,8 @@ def nlayer_discriminator_params(t: NLayerDiscriminatorT):
     params = {}
     for n, stage in enumerate(t.stages):
         params[f"layer{n}"] = torch_conv_to_flax(stage[0])
+        if len(stage) > 1:
+            _maybe_bn(params, f"norm{n}", stage[1])
     return params
 
 
