@@ -88,6 +88,18 @@ class AlignedDataset:
         img_dir = os.path.join(self.root, f"{phase}_img")
         if os.path.isdir(img_dir):
             self.image_paths = make_dataset(img_dir, opt.max_dataset_size)
+        # --load_features (SURVEY §3.3 / pix2pixHD precompute_feature_maps
+        # flow): precomputed per-image encoder feature MAPS from
+        # {phase}_feat/, keyed by the label file's basename. Saved as
+        # exact float .npy (tools/precompute_feature_maps.py) rather than
+        # the reference's lossy PNG round-trip — a documented divergence.
+        self.feat_dir = None
+        if getattr(opt, "load_features", False):
+            self.feat_dir = os.path.join(self.root, f"{phase}_feat")
+            assert os.path.isdir(self.feat_dir), (
+                f"--load_features set but {self.feat_dir} is missing; run "
+                "tools/precompute_feature_maps.py first"
+            )
         self.seed = getattr(opt, "seed", 0)
         self._epoch = 0
         self._cache = (
@@ -177,4 +189,24 @@ class AlignedDataset:
             )
             arr = np.asarray(rgb)
             sample["image"] = arr if u8 else normalize_rgb(arr)
+
+        if self.feat_dir is not None:
+            stem = os.path.splitext(os.path.basename(self.label_paths[index]))[0]
+            feat = np.load(os.path.join(self.feat_dir, stem + ".npy"))
+            # instance-pooled maps are piecewise-constant per instance, so
+            # NEAREST is the exact geometric transform; per-channel 'F'
+            # PIL images ride the same (crop_pos, flip) draw as the label
+            chans = [
+                np.asarray(
+                    apply_transform(
+                        Image.fromarray(feat[..., c].astype(np.float32), mode="F"),
+                        self.opt,
+                        params,
+                        Image.NEAREST,
+                    ),
+                    np.float32,
+                )
+                for c in range(feat.shape[-1])
+            ]
+            sample["feat"] = np.stack(chans, -1)
         return sample

@@ -388,3 +388,75 @@ def test_grain_loader_bbox_path(dataroot, tmp_path):
             assert bt[0][k] == bg[0][k]
         else:
             np.testing.assert_array_equal(bt[0][k], bg[0][k])
+
+
+def test_load_features_flow(dataroot, tmp_path):
+    """--load_features end-to-end: tools/precompute_feature_maps.py writes
+    {phase}_feat/*.npy, AlignedDataset emits batch['feat'] (same geometric
+    transform as the label plane), and the maps equal the Encoder's output
+    for the same seed-initialized params."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import precompute_feature_maps
+
+    argv = [
+        "--name", "featexp",
+        "--checkpoints_dir", os.path.join(str(tmp_path), "ckpt"),
+        "--dataroot", dataroot,
+        "--instance_feat",
+        "--feat_num", "3", "--nef", "4", "--n_downsample_E", "2",
+        "--seed", "0",
+    ]
+    precompute_feature_maps.main(argv)
+    feat_dir = os.path.join(dataroot, "train_feat")
+    files = sorted(os.listdir(feat_dir))
+    assert files == ["000.npy", "001.npy", "002.npy"]
+    f0 = np.load(os.path.join(feat_dir, "000.npy"))
+    assert f0.shape == (64, 128, 3) and f0.dtype == np.float32
+
+    # dataset emits the map, un-transformed under resize_or_crop=none
+    opt = m2i_opt(
+        dataroot, str(tmp_path), instance_feat=True, load_features=True,
+        feat_num=3, nef=4, n_downsample_E=2,
+    )
+    ds = AlignedDataset(opt)
+    s = ds[0]
+    np.testing.assert_allclose(s["feat"], f0, rtol=0, atol=0)
+
+    # value parity vs a same-seed Encoder apply
+    import jax
+    import jax.numpy as jnp
+
+    from neurips18_hierchical_image_manipulation_tpu.models.factory import (
+        create_model,
+    )
+
+    model = create_model(opt)
+    batch = {
+        "label": np.asarray(s["label"])[None].astype(np.int32),
+        "inst": np.asarray(s["inst"])[None].astype(np.int32),
+        "image": np.asarray(s["image"])[None].astype(np.float32),
+    }
+    params = jax.jit(lambda r: model.init_params(r, batch))(jax.random.PRNGKey(0))
+    ref = np.asarray(
+        model.netE.apply(params["E"], jnp.asarray(batch["image"]),
+                         jnp.asarray(batch["inst"]))
+    )[0]
+    np.testing.assert_allclose(f0, ref, rtol=2e-5, atol=2e-5)
+
+    # geometric consistency: a flipped draw flips feat with the label
+    opt_f = m2i_opt(
+        dataroot, str(tmp_path), instance_feat=True, load_features=True,
+        feat_num=3, nef=4, n_downsample_E=2, no_flip=False,
+    )
+    ds_f = AlignedDataset(opt_f)
+    found_flip = False
+    for ep in range(6):
+        ds_f.set_epoch(ep)
+        sf = ds_f[0]
+        if not np.array_equal(sf["label"], s["label"]):
+            found_flip = True
+            np.testing.assert_array_equal(sf["label"], s["label"][:, ::-1])
+            np.testing.assert_allclose(sf["feat"], s["feat"][:, ::-1])
+    assert found_flip
