@@ -437,6 +437,9 @@ def test_load_features_flow(dataroot, tmp_path):
         "label": np.asarray(s["label"])[None].astype(np.int32),
         "inst": np.asarray(s["inst"])[None].astype(np.int32),
         "image": np.asarray(s["image"])[None].astype(np.float32),
+        # aligned samples carry no boxes; the flagship model's masked-RGB
+        # conditioning needs one at init (same degenerate box as the tool)
+        "boxes": np.zeros((1, 4), np.int32),
     }
     params = jax.jit(lambda r: model.init_params(r, batch))(jax.random.PRNGKey(0))
     ref = np.asarray(
@@ -460,3 +463,14 @@ def test_load_features_flow(dataroot, tmp_path):
             np.testing.assert_array_equal(sf["label"], s["label"][:, ::-1])
             np.testing.assert_allclose(sf["feat"], s["feat"][:, ::-1])
     assert found_flip
+
+
+def test_device_resident_rejects_load_features(dataroot, tmp_path):
+    """--device_resident_data materializes only label/inst/image planes;
+    combining it with --load_features must fail loudly instead of silently
+    training without the precomputed feature conditioning."""
+    opt = m2i_opt(
+        dataroot, str(tmp_path), load_features=True, device_resident_data=True
+    )
+    with pytest.raises(AssertionError, match="load_features"):
+        CreateDataLoader(opt)

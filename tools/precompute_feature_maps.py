@@ -44,6 +44,12 @@ def main(argv=None):
     )
 
     opt = parse_cli(MaskToImageTestOptions, argv)
+    # feature maps are consumed at TRAIN time (--load_features), so the
+    # useful default split is train — TestOptions' phase=test default only
+    # applies when --phase is given explicitly
+    eff_argv = argv if argv is not None else sys.argv[1:]
+    if not any(a == "--phase" or a.startswith("--phase=") for a in eff_argv):
+        opt.phase = "train"
     assert getattr(opt, "instance_feat", False) or getattr(opt, "label_feat", False), (
         "precompute_feature_maps needs --instance_feat or --label_feat "
         "(the model has no Encoder otherwise)"
@@ -63,6 +69,11 @@ def main(argv=None):
 
     sample0 = ds[0]
     batch0 = {k: np.asarray(v)[None] for k, v in sample0.items() if k != "path"}
+    if getattr(opt, "use_masked_image", False) and "boxes" not in batch0:
+        # aligned samples carry no boxes; init with a degenerate zero box so
+        # netG keeps the masked-RGB conditioning channels (param shapes must
+        # match the training checkpoint) — only netE is applied afterwards
+        batch0["boxes"] = np.zeros((1, 4), np.int32)
     params = jax.jit(lambda r: model.init_params(r, batch0))(
         jax.random.PRNGKey(opt.seed)
     )
