@@ -97,9 +97,17 @@ def losses_enabled() -> bool:
 #       nnops.py _POOL_IMPL note)
 #   3 = mode 1 + the scale-1 pooled cond ALSO from Pallas
 #       (encode_cond_pooled), so materializing cond costs no pool re-read
+#
+# Default = 2: measured end-to-end on the v5e flagship step (512x256 bs32
+# bf16, reports/encode_ab_r03.jsonl + confirmation run this session):
+#   mode 0  92.56 img/s | mode 1  93.03 | mode 2  93.43 | mode 3  92.08
+# — the g_packed expansion from Pallas beats XLA's select_n chain while
+# leaving the D cond on XLA keeps its one-hot->avgpool producer fusion.
+# This is the first Pallas kernel in the tier that WINS composed into the
+# full train step (SURVEY §8 M5 / BASELINE.json:5 native tier).
 import os as _os
 
-_ENCODE_KERNEL = int(_os.environ.get("HIMAN_ENCODE_KERNEL", "0") or "0")
+_ENCODE_KERNEL = int(_os.environ.get("HIMAN_ENCODE_KERNEL", "2") or "0")
 
 
 def set_encode_kernel(mode) -> None:

@@ -413,6 +413,7 @@ def test_encode_kernel_mode3_model_path(rng):
         params = model.init_params(jax.random.PRNGKey(0), batch)
         total_ref, (m_ref, fake_ref) = model.losses(params, batch)
         encode.INTERPRET = True
+        prev_mode = pcfg._ENCODE_KERNEL
         pcfg.set_encode_kernel(3)
         try:
             total_pl, (m_pl, fake_pl) = model.losses(params, batch)
@@ -420,7 +421,7 @@ def test_encode_kernel_mode3_model_path(rng):
             ld, md = model.d_losses(params, batch, jax.lax.stop_gradient(fake_pl))
         finally:
             encode.INTERPRET = False
-            pcfg.set_encode_kernel(0)
+            pcfg.set_encode_kernel(prev_mode)
         np.testing.assert_allclose(
             np.asarray(fake_pl), np.asarray(fake_ref), atol=1e-5, rtol=1e-5
         )
