@@ -448,6 +448,15 @@ def test_load_features_flow(dataroot, tmp_path):
     )[0]
     np.testing.assert_allclose(f0, ref, rtol=2e-5, atol=2e-5)
 
+    # the loaded map must flow through the full loss path: losses() with
+    # batch['feat'] present (bypassing the on-the-fly Encoder) is finite
+    # and differs from the no-feat batch only through the conditioning
+    batch_feat = dict(batch)
+    batch_feat["feat"] = np.asarray(s["feat"])[None].astype(np.float32)
+    total, (metrics, fake) = model.losses(params, batch_feat)
+    assert np.isfinite(float(total))
+    assert np.all(np.isfinite(np.asarray(fake)))
+
     # geometric consistency: a flipped draw flips feat with the label
     opt_f = m2i_opt(
         dataroot, str(tmp_path), instance_feat=True, load_features=True,
