@@ -220,3 +220,39 @@ def test_mask2image_spatial_shards_local_cli(dataroot, tmp_path):
         str(tmp_path), "results_sp_loc", "m2i_sp_loc", "test_latest", "index.html"
     )
     assert os.path.exists(out)
+
+
+def test_mask2image_load_features_cli(dataroot, tmp_path):
+    """--instance_feat --load_features through the real drivers: precompute
+    tool writes {phase}_feat, then training consumes batch['feat'] (the
+    pix2pixHD precompute_feature_maps flow, SURVEY §3.3)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import precompute_feature_maps
+
+    from neurips18_hierchical_image_manipulation_tpu.cli import mask2image_train
+
+    feat_flags = [
+        "--instance_feat", "--feat_num", "3", "--nef", "4",
+        "--n_downsample_E", "2",
+    ]
+    precompute_feature_maps.main(
+        common_flags(dataroot, tmp_path, "m2i_feat") + feat_flags
+    )
+    assert sorted(os.listdir(os.path.join(dataroot, "train_feat"))) == [
+        "0.npy", "1.npy",
+    ]
+
+    flags = common_flags(dataroot, tmp_path, "m2i_feat") + feat_flags + [
+        "--load_features",
+        "--no-use_bbox_dataset", "--no-use_masked_image",
+        "--fineSize", "64",
+        "--niter", "1", "--niter_decay", "0",
+        "--print_freq", "1", "--display_freq", "1000",
+        "--save_epoch_freq", "1", "--save_latest_freq", "1000",
+        "--no_vgg_loss",
+    ]
+    mask2image_train.main(flags)
+    ckdir = os.path.join(str(tmp_path), "ckpt", "m2i_feat")
+    assert os.path.isdir(os.path.join(ckdir, "ckpt", "latest"))
