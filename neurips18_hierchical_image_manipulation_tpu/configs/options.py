@@ -77,9 +77,20 @@ class BaseOptions:
     # upload the WHOLE dataset to HBM once and gather/augment batches
     # on-device (data/device_resident.py) — per-step H2D is one index
     # vector. Right call whenever the resized dataset fits next to the
-    # step's working set (Cityscapes 512x256 uint8 ~ 2.3 GB); aligned
-    # dataset only
+    # step's working set: Cityscapes pre-resized to 512x256 uint8 is
+    # ~2.3 GB, but FULL-RES planes (2975 x 2048x1024 label+inst+RGB) are
+    # ~37 GB and do NOT fit a 16 GB v5e — the loader projects the upload
+    # against the device budget and refuses loudly with a streaming hint
+    # (HIMAN_HBM_BUDGET_BYTES overrides the detected budget)
     device_resident_data: bool = False
+    # with --device_resident_data: fold the on-device gather+crop+flip+
+    # normalize INTO the donated train step — ONE jitted dispatch per
+    # iteration, zero per-step H2D; sampling becomes a pure function of
+    # (seed, state.step) so mid-epoch resume continues the stream exactly
+    # (train/steps.make_resident_train_step). Off switch kept for A/B
+    # against the standalone-sampler path (single-device only; the mesh
+    # and pool paths ignore it)
+    fused_resident_step: bool = True
 
     # display
     display_winsize: int = 512
@@ -111,6 +122,14 @@ class BaseOptions:
     seed: int = 0
     debug_nans: bool = False  # SURVEY §6.2: jax_debug_nans for CI runs
     remat: bool = False  # rematerialize resblocks (trade FLOPs for HBM)
+    # resblock remat granularity (tools/remat_sweep.py, VERDICT r3 next#2):
+    #   none     — no checkpoint (XLA's own remat only); remat=True alone
+    #              means policy 'block'
+    #   block    — jax.checkpoint each resblock, save only block I/O
+    #   conv_out — checkpoint each resblock but SAVE the two conv outputs
+    #              (jax.checkpoint_policies.save_only_these_names): backward
+    #              re-runs only the cheap IN/ReLU/pad chains, never a conv
+    remat_policy: str = "none"
 
     isTrain: bool = field(default=False, init=False)
 

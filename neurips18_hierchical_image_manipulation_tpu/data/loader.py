@@ -98,6 +98,20 @@ class DataLoader:
 
 def CreateDataLoader(opt, records=None):
     """opt.model selects the dataset family (aligned vs bbox-crop)."""
+    # the resident stores materialize label/inst/image planes only;
+    # precomputed feature maps would be silently dropped — refuse rather
+    # than train without the conditioning the user asked for
+    # (--instance_feat WITHOUT --load_features is fine: features are
+    # encoded on-device from the resident image/inst planes). ValueError,
+    # not assert: the guard must survive python -O. Applies to BOTH
+    # dataset families (aligned and bbox-crop).
+    if getattr(opt, "device_resident_data", False) and getattr(
+        opt, "load_features", False
+    ):
+        raise ValueError(
+            "--device_resident_data does not support --load_features; "
+            "drop one of the two (on-the-fly --instance_feat works)"
+        )
     if getattr(opt, "model", "pix2pixHD") == "box2mask" or getattr(
         opt, "use_bbox_dataset", False
     ):
@@ -116,18 +130,6 @@ def CreateDataLoader(opt, records=None):
     else:
         from .cityscapes import AlignedDataset
 
-        # the resident store materializes label/inst/image planes only;
-        # precomputed feature maps would be silently dropped — refuse
-        # rather than train without the conditioning the user asked for
-        # (--instance_feat WITHOUT --load_features is fine: features are
-        # encoded on-device from the resident image/inst planes)
-        assert not (
-            getattr(opt, "device_resident_data", False)
-            and getattr(opt, "load_features", False)
-        ), (
-            "--device_resident_data does not support --load_features; "
-            "drop one of the two (on-the-fly --instance_feat works)"
-        )
         ds = AlignedDataset(opt)
         if getattr(opt, "device_resident_data", False):
             # upload-once HBM-resident mode (data/device_resident.py):

@@ -107,7 +107,9 @@ def losses_enabled() -> bool:
 # full train step (SURVEY §8 M5 / BASELINE.json:5 native tier).
 import os as _os
 
-_ENCODE_KERNEL = int(_os.environ.get("HIMAN_ENCODE_KERNEL", "2") or "0")
+# Empty string falls back to the same default as unset (advisor r3: the
+# earlier `or "0"` made HIMAN_ENCODE_KERNEL='' an accidental off switch).
+_ENCODE_KERNEL = int(_os.environ.get("HIMAN_ENCODE_KERNEL", "2") or "2")
 
 
 def set_encode_kernel(mode) -> None:

@@ -109,6 +109,29 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
             model, vgg_params=vgg_params, compute_dtype=compute_dtype
         )
 
+    # device-resident loaders: fuse sampling + augmentation INTO the
+    # donated step — one dispatch per iteration, zero per-step H2D.
+    # Sampling is a pure function of (seed, state.step), so resume
+    # continues the stream exactly (VERDICT r3 next#1).
+    fused = (
+        mesh is None
+        and pool is None
+        and hasattr(loader, "fused_sampler")
+        and getattr(opt, "fused_resident_step", True)
+    )
+    if fused:
+        sample_fn, resident_data = loader.fused_sampler()
+        fused_step, fused_step_wb = train_steps.make_resident_train_step(
+            model,
+            sample_fn,
+            loader.n_samples,
+            opt.batchSize,
+            vgg_params=vgg_params,
+            compute_dtype=compute_dtype,
+            shuffle=not opt.serial_batches,
+            seed=opt.seed,
+        )
+
     from .profiler import ThroughputMeter, trace
 
     n_chips = mesh.devices.size if mesh is not None else 1
@@ -129,13 +152,52 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
             b = train_steps.shard_batch(b, mesh)
         return b
 
-    for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
-        epoch_start = time.time()
-        # mid-epoch resume: iter.txt's second field counts completed
-        # batches of start_epoch — skip them so resumed training doesn't
-        # replay already-seen batches (and desync the optax step count
-        # from the epoch bookkeeping)
-        skip = epoch_iter0 if epoch == start_epoch else 0
+    def _fused_iter(epoch, skip):
+        """One epoch of the FUSED resident path: no loader iteration at
+        all — the donated step samples on device from state.step, so the
+        host's per-iteration work is ONE dispatch with constant args.
+        Display iterations swap in the step_with_batch program (compiled
+        once) to fetch the input planes for the HTML gallery."""
+        nonlocal state, total_steps
+        n_batches = max(loader.n_samples // opt.batchSize, 1)
+        for i in range(skip, n_batches):
+            iter_start = time.time()
+            want_batch = (
+                make_visuals is not None
+                and (total_steps + 1) % opt.display_freq == 0
+            )
+            with trace(profile_dir if total_steps == 20 else None):
+                if want_batch:
+                    state, metrics, fake, fbatch = fused_step_wb(
+                        state, resident_data
+                    )
+                else:
+                    state, metrics, fake = fused_step(state, resident_data)
+            total_steps += 1
+            ips = meter.tick()
+
+            if total_steps % opt.print_freq == 0:
+                errors = {k: float(v) for k, v in metrics.items()}
+                if ips:
+                    errors["img_per_s_per_chip"] = ips
+                visualizer.print_current_errors(
+                    epoch, i + 1, errors, time.time() - iter_start
+                )
+                visualizer.plot_current_errors(errors, total_steps)
+
+            if want_batch and total_steps % opt.display_freq == 0:
+                host_batch = {
+                    k: np.asarray(v) for k, v in jax.device_get(fbatch).items()
+                }
+                visuals = make_visuals(host_batch, np.asarray(jax.device_get(fake)))
+                if visuals:
+                    visualizer.display_current_results(visuals, epoch, total_steps)
+
+            if total_steps % opt.save_latest_freq == 0:
+                ckpt.save("latest", state, epoch, i + 1)
+
+    def _streamed_iter(epoch, skip):
+        nonlocal state, total_steps
         for i, (batch, host_batch) in enumerate(
             device_prefetch(loader, _stage, prefetch_depth)
         ):
@@ -167,6 +229,20 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
 
             if total_steps % opt.save_latest_freq == 0:
                 ckpt.save("latest", state, epoch, i + 1)
+
+    for epoch in range(start_epoch, opt.niter + opt.niter_decay + 1):
+        epoch_start = time.time()
+        # mid-epoch resume: iter.txt's second field counts completed
+        # batches of start_epoch — skip them so resumed training doesn't
+        # replay already-seen batches (and desync the optax step count
+        # from the epoch bookkeeping). On the fused path sampling derives
+        # from the checkpointed state.step, so the skip only aligns the
+        # host epoch bookkeeping (the stream itself is exact either way).
+        skip = epoch_iter0 if epoch == start_epoch else 0
+        if fused:
+            _fused_iter(epoch, skip)
+        else:
+            _streamed_iter(epoch, skip)
 
         if epoch % opt.save_epoch_freq == 0:
             ckpt.save(epoch, state, epoch + 1, 0)

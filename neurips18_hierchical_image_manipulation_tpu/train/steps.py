@@ -83,6 +83,79 @@ def make_train_step(model, vgg_params=None, donate=True, compute_dtype=None):
     return step
 
 
+def make_resident_train_step(
+    model,
+    sample_fn,
+    n_samples,
+    batch_size,
+    vgg_params=None,
+    compute_dtype=None,
+    shuffle=True,
+    seed=0,
+    extra=None,
+    donate=True,
+):
+    """Device-resident FUSED step: sampling + augmentation + model step in
+    ONE jitted program with ZERO per-step host->device transfer
+    (VERDICT r3 next#1: the 11-15%% loop-vs-device gap was dispatch +
+    index-upload overhead around the separate _sample_batch program).
+
+    The epoch permutation is generated ON DEVICE from ``state.step``:
+      epoch, i = divmod(step, steps_per_epoch)           # device scalars
+      perm     = random.permutation(fold_in(shuffle_key, epoch), n)
+      idx      = dynamic_slice(perm, i * bs, bs)
+    so the host's entire per-iteration work is one dispatch of the
+    donated step with constant args. Sampling is a pure function of
+    (seed, state.step): mid-epoch resume restores state.step from the
+    checkpoint and the stream continues exactly (stronger than the host
+    loader, whose RNG chain is not checkpointed). Same draw laws as the
+    host/resident loaders (uniform crop, fair-coin flip, fair shuffle) on
+    a different RNG stream — the documented resident-mode contract.
+
+    Returns step(state, data) -> (state, metrics, fake) and
+    step_with_batch(state, data) -> (state, metrics, fake, batch) — the
+    latter compiled separately, for display iterations that need the
+    input planes for the HTML gallery.
+    """
+    loss_fn = _make_loss_fn(model, vgg_params, compute_dtype)
+    extra = dict(extra) if extra else {}
+    steps_per_epoch = max(n_samples // batch_size, 1)  # drop_last, as the loaders do
+    shuffle_key = jax.random.PRNGKey(seed ^ 0x5EED)
+    sample_key = jax.random.PRNGKey(seed ^ 0xA3C0)
+
+    def body(state, data):
+        rng, sub = jax.random.split(state.rng)
+        epoch = state.step // steps_per_epoch
+        i = state.step % steps_per_epoch
+        if shuffle:
+            perm = jax.random.permutation(
+                jax.random.fold_in(shuffle_key, epoch), n_samples
+            )
+        else:
+            perm = jnp.arange(n_samples)
+        idx = lax.dynamic_slice(perm, (i * batch_size,), (batch_size,))
+        skey = jax.random.fold_in(sample_key, state.step)
+        batch = dict(sample_fn(data, idx, skey))
+        batch.update(extra)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, fake)), grads = grad_fn(state.params, batch, sub)
+        new_state = state.apply_gradients(grads).replace(rng=rng)
+        return new_state, metrics, fake, batch
+
+    donate_args = (0,) if donate else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate_args)
+    def step(state, data):
+        new_state, metrics, fake, _ = body(state, data)
+        return new_state, metrics, fake
+
+    @functools.partial(jax.jit, donate_argnums=donate_args)
+    def step_with_batch(state, data):
+        return body(state, data)
+
+    return step, step_with_batch
+
+
 def make_pooled_train_steps(model, vgg_params=None, compute_dtype=None):
     """pool_size>0 path (SURVEY.md C20): the reference feeds D a REPLAYED
     fake from the ImagePool while G trains against the fresh fake. Split

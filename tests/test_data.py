@@ -481,5 +481,5 @@ def test_device_resident_rejects_load_features(dataroot, tmp_path):
     opt = m2i_opt(
         dataroot, str(tmp_path), load_features=True, device_resident_data=True
     )
-    with pytest.raises(AssertionError, match="load_features"):
+    with pytest.raises(ValueError, match="load_features"):
         CreateDataLoader(opt)

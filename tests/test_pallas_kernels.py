@@ -297,11 +297,21 @@ def test_encode_kernel_model_path_matches_jnp(rng):
         assert nnops.stem_pack_enabled()
         params = model.init_params(jax.random.PRNGKey(0), batch)
         total_ref, (m_ref, fake_ref) = model.losses(params, batch)
+        from neurips18_hierchical_image_manipulation_tpu.ops.pallas import (
+            config as pcfg,
+        )
+
+        # Pin mode 1 (Pallas cond in the model path): with the env-driven
+        # default now 2, relying on `_ENCODE_KERNEL or 1` would silently
+        # test a different arm and be HIMAN_ENCODE_KERNEL-sensitive.
+        prev_mode = pcfg._ENCODE_KERNEL
+        pcfg.set_encode_kernel(1)
         encode.INTERPRET = True  # turns encode_enabled() on for the branch
         try:
             total_pl, (m_pl, fake_pl) = model.losses(params, batch)
         finally:
             encode.INTERPRET = False
+            pcfg.set_encode_kernel(prev_mode)
         np.testing.assert_allclose(
             np.asarray(fake_pl), np.asarray(fake_ref), atol=1e-5, rtol=1e-5
         )

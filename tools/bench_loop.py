@@ -150,6 +150,11 @@ def main():
 
     # loop-level: real loader in the loop
     resident = bool(getattr(opt, "device_resident_data", False))
+    fused = (
+        resident
+        and hasattr(loader, "fused_sampler")
+        and os.environ.get("HIMAN_FUSED", "1") == "1"
+    )
     if getattr(opt, "decode_cache", False) and not resident:
         # steady-state measurement: warm the decode-once .npy cache
         # (first-epoch cost is one extra decode+save per file)
@@ -161,26 +166,61 @@ def main():
 
     depth = 0 if resident else int(os.environ.get("HIMAN_PREFETCH", "0"))
     n_steps = 0
-    t0 = time.perf_counter()
-    for epoch in range(4):
-        for batch, _hb in device_prefetch(loader, with_boxes, depth):
-            state, metrics, _ = step(state, batch)
-            n_steps += 1
-    _ = float(metrics["D_real"])
+    if fused:
+        # the FUSED resident path the real CLI loop takes with
+        # --device_resident_data (train/loop.py): sampling + augmentation
+        # inlined into the donated step, one dispatch/iter, zero per-step
+        # H2D (VERDICT r3 next#1)
+        sample_fn, resident_data = loader.fused_sampler()
+        extra = None if bbox_leg else {"boxes": boxes_const}
+        fstep, _wb = train_steps.make_resident_train_step(
+            model, sample_fn, loader.n_samples, bs,
+            vgg_params=vgg_params, compute_dtype=jnp.bfloat16,
+            shuffle=True, seed=0, extra=extra,
+        )
+        state, metrics, _ = fstep(state, resident_data)  # compile
+        _ = float(metrics["D_real"])
+        spe = max(loader.n_samples // bs, 1)
+        t0 = time.perf_counter()
+        for _e in range(4):
+            for _i in range(spe):
+                state, metrics, _ = fstep(state, resident_data)
+                n_steps += 1
+        _ = float(metrics["D_real"])
+    else:
+        t0 = time.perf_counter()
+        for epoch in range(4):
+            for batch, _hb in device_prefetch(loader, with_boxes, depth):
+                state, metrics, _ = step(state, batch)
+                n_steps += 1
+        _ = float(metrics["D_real"])
     loop_ips = bs * n_steps / (time.perf_counter() - t0)
 
-    print(json.dumps({
+    result = {
         "metric": "loop_vs_device_images_per_sec_"
         + ("bbox256" if bbox_leg else "512x256"),
         "device_only": round(dev_ips, 2),
         "loop_level": round(loop_ips, 2),
+        "loop_over_device_pct": round(100 * loop_ips / dev_ips, 1),
         "host_overhead_pct": round(100 * (1 - loop_ips / dev_ips), 1),
         "nThreads": nthreads,
         "device_prefetch": depth,
         "device_resident": resident,
+        "fused_resident_step": fused,
         "decode_cache": bool(getattr(opt, "decode_cache", False)),
         "unit": "images/sec/chip",
-    }))
+    }
+    print(json.dumps(result))
+    if "--out" in sys.argv:
+        out_path = sys.argv[sys.argv.index("--out") + 1]
+        rows = []
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                rows = [json.loads(l) for l in f if l.strip()]
+        rows.append(result)
+        with open(out_path, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":

@@ -46,9 +46,16 @@ def main(argv=None):
     opt = parse_cli(MaskToImageTestOptions, argv)
     # feature maps are consumed at TRAIN time (--load_features), so the
     # useful default split is train — TestOptions' phase=test default only
-    # applies when --phase is given explicitly
+    # applies when --phase is given explicitly. Detect "explicitly" with a
+    # sentinel-default argparse probe (honors prefix abbreviations like
+    # `--phas test`, which a raw argv string scan would miss).
+    import argparse
+
     eff_argv = argv if argv is not None else sys.argv[1:]
-    if not any(a == "--phase" or a.startswith("--phase=") for a in eff_argv):
+    probe = argparse.ArgumentParser(add_help=False)
+    probe.add_argument("--phase", default=None)
+    probe_ns, _ = probe.parse_known_args(eff_argv)
+    if probe_ns.phase is None:
         opt.phase = "train"
     assert getattr(opt, "instance_feat", False) or getattr(opt, "label_feat", False), (
         "precompute_feature_maps needs --instance_feat or --label_feat "

@@ -128,27 +128,50 @@ def collect(out_path):
 
 
 def _conv_flops(rec):
-    # out spatial dims from the conv shape rule
+    """TRUE-MAC flop count: kernel taps that land on lhs-dilation-inserted
+    zeros (transposed convs / stride-2 dgrads) do no arithmetic and are
+    NOT counted (VERDICT r3 weak#1: the naive dilated-volume count put
+    five gradient convs above the 197 TF/s chip peak and inflated the
+    step ledger ~30%). Phase-exact per spatial dim: tap j of output y is
+    real iff (y*stride - pad_lo + j*rhs_dil) % lhs_dil == 0. MACs are
+    separable across dims: total = N*Cout*Cin/fgc * prod_d tap_sum_d.
+    Boundary/padding taps are counted as work (standard convention; they
+    hit the naive formula identically). Exactly matches the naive count
+    when lhs_dilation == 1.
+    """
     lhs, rhs = rec["lhs_shape"], rec["rhs_shape"]
     dn = rec["dimension_numbers"]
     ln, lc = dn[0][0], dn[0][1]
     lspatial = dn[0][2:]
-    rk_in, rk_out = dn[1][1], dn[1][0]
+    rk_out = dn[1][0]
     rspatial = dn[1][2:]
     n = lhs[ln]
     cin = lhs[lc]
     cout = rhs[rk_out]
-    k_elems = 1
-    for d in rspatial:
-        k_elems *= rhs[d]
-    out_elems = 1
+    tap_prod = 1.0
     for i, d in enumerate(lspatial):
-        size = (lhs[d] - 1) * rec["lhs_dilation"][i] + 1
-        ksize = (rhs[rspatial[i]] - 1) * rec["rhs_dilation"][i] + 1
+        ld = rec["lhs_dilation"][i]
+        rd = rec["rhs_dilation"][i]
+        k = rhs[rspatial[i]]
+        size = (lhs[d] - 1) * ld + 1
+        ksize = (k - 1) * rd + 1
         pad = rec["padding"][i]
-        o = (size + pad[0] + pad[1] - ksize) // rec["window_strides"][i] + 1
-        out_elems *= o
-    return 2.0 * n * out_elems * cout * cin * k_elems / rec["feature_group_count"]
+        stride = rec["window_strides"][i]
+        o = (size + pad[0] + pad[1] - ksize) // stride + 1
+        if ld == 1:
+            tap_sum = o * k
+        else:
+            # output phase repeats with period lcm(ld, ...)/... — just
+            # count the first min(o, ld) phases exactly and tile
+            tap_sum = 0
+            full, rem = divmod(o, ld)
+            per_phase = [
+                sum(1 for j in range(k) if ((y * stride - pad[0]) + j * rd) % ld == 0)
+                for y in range(ld)
+            ]
+            tap_sum = full * sum(per_phase) + sum(per_phase[:rem])
+        tap_prod *= tap_sum
+    return 2.0 * n * cout * cin * tap_prod / rec["feature_group_count"]
 
 
 def bench(specs_path, out_json, trace_dir, measured_step_ms):
