@@ -100,6 +100,7 @@ def main():
         use_masked_image=True,
         dtype="bfloat16",
         remat=os.environ.get("HIMAN_BENCH_REMAT", "0") == "1",
+        remat_policy=os.environ.get("HIMAN_BENCH_REMAT_POLICY", "none"),
     )
     model = create_model(opt)
 

@@ -24,7 +24,9 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops import nnops
 
@@ -153,6 +155,10 @@ def norm_act(x, norm: str = "instance", act: str = "relu"):
             x = fused_instance_norm(x, relu=(act == "relu"))
             if act == "relu":
                 return x
+        elif act in ("relu", "lrelu"):
+            # fused IN+act: the byte-diet custom VJP saves only the stats
+            # (activation mask recomputed in backward) — see nnops
+            return nnops.instance_norm_act(x, act)
         else:
             x = nnops.instance_norm(x)
     elif norm != "none":
@@ -216,11 +222,16 @@ class ResnetBlock(nn.Module):
         db = self.norm == "instance"
         h = nnops.reflect_pad(x, 1)
         h = Conv(self.dim, 3, name="conv1", dead_bias=db)(h)
+        # checkpoint_name: inert identity outside jax.checkpoint; under
+        # remat_policy='conv_out' these two tags are the save set (backward
+        # recomputes only IN/ReLU/pad chains, never a conv)
+        h = checkpoint_name(h, "res_conv_out")
         h = NormAct(self.norm, "relu", name="norm1")(h)
         if self.dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
         h = nnops.reflect_pad(h, 1)
         h = Conv(self.dim, 3, name="conv2", dead_bias=db)(h)
+        h = checkpoint_name(h, "res_conv_out")
         if self.norm == "instance":
             from ..ops.pallas import config as pallas_config
             from ..ops.pallas.instance_norm import fused_instance_norm
@@ -231,6 +242,24 @@ class ResnetBlock(nn.Module):
         elif self.norm == "batch":
             h = NormAct("batch", "none", name="norm2")(h)
         return x + h
+
+
+def _resblock_cls(remat: bool, remat_policy: str = "none"):
+    """Resblock wrapper for the remat-policy sweep (VERDICT r3 next#2).
+    remat=True with the default policy keeps the r2 behavior (plain
+    jax.checkpoint = save block I/O only); 'conv_out' saves the tagged
+    conv outputs so backward recomputes only elementwise chains."""
+    if remat_policy == "conv_out":
+        return nn.remat(
+            ResnetBlock,
+            static_argnums=(2,),
+            policy=jax.checkpoint_policies.save_only_these_names("res_conv_out"),
+        )
+    if remat or remat_policy == "block":
+        return nn.remat(ResnetBlock, static_argnums=(2,))
+    if remat_policy not in ("none", "block", "conv_out"):
+        raise ValueError(f"unknown remat_policy {remat_policy!r}")
+    return ResnetBlock
 
 
 class GlobalGenerator(nn.Module):
@@ -245,6 +274,7 @@ class GlobalGenerator(nn.Module):
     norm: str = "instance"
     dropout: bool = False  # --use_dropout
     remat: bool = False  # jax.checkpoint each resblock: FLOPs for HBM
+    remat_policy: str = "none"  # none|block|conv_out (configs/options.py)
 
     @nn.compact
     def __call__(self, x, x2=None, train: bool = False):
@@ -260,7 +290,7 @@ class GlobalGenerator(nn.Module):
             h2 = Conv(self.ngf, 7, name="conv_in", dead_bias=db, packed_s2d_io=True)(
                 x.packed
             )
-            h2 = nnops.relu(nnops.instance_norm_packed(h2, self.ngf))
+            h2 = nnops.instance_norm_packed_act(h2, self.ngf, "relu")
             h = Conv(
                 self.ngf * 2, 3, stride=2, padding=1, name="down0",
                 dead_bias=db, packed_s2d_in=True,
@@ -275,9 +305,7 @@ class GlobalGenerator(nn.Module):
         for i in range(start, self.n_downsampling):
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
             h = NormAct(self.norm, "relu", name=f"norm_down{i}")(h)
-        block_cls = (
-            nn.remat(ResnetBlock, static_argnums=(2,)) if self.remat else ResnetBlock
-        )
+        block_cls = _resblock_cls(self.remat, self.remat_policy)
         for i in range(self.n_blocks):
             h = block_cls(
                 self.ngf * 2**self.n_downsampling,
@@ -697,6 +725,7 @@ def define_G(opt) -> Any:
             norm=opt.norm,
             dropout=getattr(opt, "use_dropout", False),
             remat=getattr(opt, "remat", False),
+            remat_policy=getattr(opt, "remat_policy", "none"),
         )
     if opt.netG == "local":
         return LocalEnhancer(

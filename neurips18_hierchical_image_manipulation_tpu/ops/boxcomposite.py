@@ -38,7 +38,53 @@ def _sample_coords(start, size, out_size):
     return start + (i + 0.5) * (size / out_size) - 0.5
 
 
+def _pil_cubic(t):
+    """PIL's bicubic kernel (Keys, a = -0.5), support 2."""
+    at = jnp.abs(t)
+    return jnp.where(
+        at < 1.0,
+        ((1.5 * at - 2.5) * at) * at + 1.0,
+        jnp.where(at < 2.0, ((-0.5 * at + 2.5) * at - 4.0) * at + 2.0, 0.0),
+    )
+
+
+def _pil_resample_weights(start, size, out_size, full):
+    """(out_size, full) separable resample matrix reproducing PIL's
+    ImagingResample coefficient rule for a bicubic resize of the window
+    [start, start+size) to out_size, expressed over the FULL axis length
+    so crop+resize is one weighted contraction.
+
+    PIL downscale widens the kernel by filterscale = size/out (the
+    antialiasing a point-sampled kernel lacks — the source of the
+    bilinear-vs-bicubic divergence the resident bbox loader used to
+    carry), clips the window at the crop bounds, and normalizes each
+    row over the clipped support. Weights are a closed-form elementwise
+    function of the traced (start, size), so the whole resample is two
+    static-shape MXU matmuls per image — the TPU-idiomatic form of PIL's
+    host loop. fp32 weights vs PIL's 8-bit fixed-point coefficients:
+    sub-quantization difference on uint8 data."""
+    scale = size / out_size
+    fscale = jnp.maximum(scale, 1.0)
+    centers = start + (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale
+    j = jnp.arange(full, dtype=jnp.float32)[None, :]
+    w = _pil_cubic((j + 0.5 - centers[:, None]) / fscale)
+    w = jnp.where((j >= start) & (j < start + size), w, 0.0)
+    return w / jnp.sum(w, axis=1, keepdims=True)
+
+
+def _crop_resize_pil_one(img, box, out_hw):
+    y0, x0, bh, bw = [box[k].astype(jnp.float32) for k in range(4)]
+    wy = _pil_resample_weights(y0, bh, out_hw[0], img.shape[0])
+    wx = _pil_resample_weights(x0, bw, out_hw[1], img.shape[1])
+    f = img.astype(jnp.float32)
+    return jnp.einsum(
+        "oy,yxc,px->opc", wy, f, wx, preferred_element_type=jnp.float32
+    ).astype(img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32)
+
+
 def _crop_resize_one(img, box, out_hw, method):
+    if method == "pil_bicubic":
+        return _crop_resize_pil_one(img, box, out_hw)
     h_img, w_img = img.shape[0], img.shape[1]
     y0, x0, bh, bw = [box[k].astype(jnp.float32) for k in range(4)]
     ys = _sample_coords(y0, bh, out_hw[0])

@@ -49,6 +49,12 @@ def set_default_precision(p):
     _PRECISION = p
 
 
+def get_default_precision():
+    """Current global conv precision — save before a temporary
+    set_default_precision so the caller's mode can be restored."""
+    return _PRECISION
+
+
 def _lane_pad_targets(ci: int, co: int):
     """Channel-padding policy for the bf16 perf path (v5e profiling,
     2026-08-16): XLA picks pathological batch-minor layouts for low/odd
@@ -688,11 +694,9 @@ def conv2d_s2d_stride2_packed_in(x2, w, b=None, *, precision=None):
     return y
 
 
-def instance_norm_packed(x2, c, *, eps=1e-5):
-    """InstanceNorm(affine=False) on s2d-by-2 packed activations: the
-    per-(N, original-channel) spatial statistics fold the 4 phase groups
-    together; the normalize stays in the packed view. Exact same math as
-    unpacking -> instance_norm (modulo fp reduction order)."""
+def _in_packed_stats(x2, c, eps):
+    """Packed-IN statistics: fp32 (mean4, rstd4) broadcast to the packed
+    channel view [N,1,1,4c]."""
     n, h2, w2, c4 = x2.shape
     xf = x2.astype(jnp.float32)
     xv = xf.reshape(n, h2, w2, 4, c)
@@ -703,9 +707,73 @@ def instance_norm_packed(x2, c, *, eps=1e-5):
     var = jnp.maximum(ss / cnt - mean * mean, 0.0)
     mean4 = jnp.tile(mean, (1, 4))[:, None, None, :]
     rstd4 = jnp.tile(lax.rsqrt(var + eps), (1, 4))[:, None, None, :]
+    return mean4, rstd4
+
+
+def instance_norm_packed(x2, c, *, eps=1e-5):
+    """InstanceNorm(affine=False) on s2d-by-2 packed activations: the
+    per-(N, original-channel) spatial statistics fold the 4 phase groups
+    together; the normalize stays in the packed view. Exact same math as
+    unpacking -> instance_norm (modulo fp reduction order)."""
+    if _IN_CUSTOM_VJP and _PRECISION != lax.Precision.HIGHEST:
+        return _in_packed_act(x2, c, eps, "none")
+    mean4, rstd4 = _in_packed_stats(x2, c, eps)
     # barriered re-read: see instance_norm — keeps the fp32 copy virtual
     xn = lax.optimization_barrier(x2).astype(jnp.float32)
     return ((xn - mean4) * rstd4).astype(x2.dtype)
+
+
+def instance_norm_packed_act(x2, c, act, *, eps=1e-5):
+    """Packed IN + folded activation — the packed stem's analogue of
+    ``instance_norm_act`` (same byte-diet custom VJP rationale)."""
+    if _IN_CUSTOM_VJP and _PRECISION != lax.Precision.HIGHEST:
+        return _in_packed_act(x2, c, eps, act)
+    return _apply_act(instance_norm_packed(x2, c, eps=eps), act)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _in_packed_act(x2, c, eps, act):
+    """Packed-IN [+act] byte-diet custom VJP: jax-native autodiff saved an
+    fp32 [N,H2,W2,4,c] view AND the fp32 centered tensor (2.1 GB at the
+    flagship stem, reports/byte_ledger_r04.json); this saves only
+    (x2 bf16, mean4, rstd4) and recomputes xhat + the activation mask."""
+    y, _, _ = _in_packed_fwd_impl(x2, c, eps, act)
+    return y
+
+
+def _in_packed_fwd_impl(x2, c, eps, act):
+    mean4, rstd4 = _in_packed_stats(x2, c, eps)
+    xn = lax.optimization_barrier(x2).astype(jnp.float32)
+    y = ((xn - mean4) * rstd4).astype(x2.dtype)
+    return _apply_act(y, act), mean4, rstd4
+
+
+def _in_packed_fwd(x2, c, eps, act):
+    y, mean4, rstd4 = _in_packed_fwd_impl(x2, c, eps, act)
+    return y, (x2, mean4, rstd4)
+
+
+def _in_packed_bwd(c, eps, act, res, dy):
+    x2, mean4, rstd4 = res
+    n, h2, w2, c4 = x2.shape
+    xf = lax.optimization_barrier(x2).astype(jnp.float32)
+    xhat = (xf - mean4) * rstd4
+    g = dy.astype(jnp.float32)
+    if act == "relu":
+        g = jnp.where(xhat > 0, g, 0.0)
+    elif act == "lrelu":
+        g = jnp.where(xhat > 0, g, g * 0.2)
+    cnt = float(h2 * w2 * 4)
+    # reductions fold the 4 phase groups per original channel, like fwd
+    gs = jnp.sum(g.reshape(n, h2, w2, 4, c), axis=(1, 2, 3))
+    gxs = jnp.sum((g * xhat).reshape(n, h2, w2, 4, c), axis=(1, 2, 3))
+    g_mean = jnp.tile(gs / cnt, (1, 4))[:, None, None, :]
+    gx_mean = jnp.tile(gxs / cnt, (1, 4))[:, None, None, :]
+    dx = rstd4 * (g - g_mean - xhat * gx_mean)
+    return (dx.astype(x2.dtype),)
+
+
+_in_packed_act.defvjp(_in_packed_fwd, _in_packed_bwd)
 
 
 def mask_packed_border(x2, c):
@@ -885,9 +953,21 @@ def instance_norm(x, *, eps=1e-5):
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
         return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+    if _IN_CUSTOM_VJP and x.ndim == 4:
+        return _in_act(x, eps, "none")
+    mean, rstd = _in_stats(x, eps)
+    # re-read x for the normalize through an optimization barrier: without
+    # it XLA CSEs this cast with the stats pass's and MATERIALIZES the
+    # fp32 copy of the full-res tensor to HBM (measured 7.2 ms/step of
+    # convert_element_type at 512x256 bs32); barriered, each cast fuses
+    # into its consumer and the fp32 tensor never exists in memory.
+    xn = lax.optimization_barrier(x).astype(jnp.float32)
+    return ((xn - mean) * rstd).astype(x.dtype)
 
+
+def _in_stats(x, eps):
+    """Perf-path IN statistics: fp32 (mean, rstd) keepdims over (H, W)."""
     n, h, w, c = x.shape
-    xf = x.astype(jnp.float32)
     f = 128 // c if (c < 128 and 128 % c == 0) else 1
     if _IN_LANE_FOLD and f > 1 and w % f == 0:
         # Lane-fold the STATS reduce only: a spatial reduce keeping (N,C)
@@ -895,8 +975,8 @@ def instance_norm(x, *, eps=1e-5):
         # lanes (measured 4.5 ms vs the 2.0 ms roofline for IN fwd on
         # [32,256,512,64]). (W, c) -> (W/f, f*c) is a free bitcast (W is
         # adjacent to the minor C axis), so the reduction runs full-lane;
-        # the normalize below stays in the original view so it keeps
-        # fusing into its consumers.
+        # the normalize stays in the original view so it keeps fusing into
+        # its consumers.
         xv = x.reshape(n, h, w // f, f * c).astype(jnp.float32)
         s = jnp.sum(xv, axis=(1, 2)).reshape(n, f, c).sum(axis=1)
         ss = jnp.sum(xv * xv, axis=(1, 2)).reshape(n, f, c).sum(axis=1)
@@ -904,16 +984,111 @@ def instance_norm(x, *, eps=1e-5):
         mean = (s / cnt)[:, None, None, :]
         var = jnp.maximum((ss / cnt)[:, None, None, :] - mean * mean, 0.0)
     else:
+        xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         msq = jnp.mean(xf * xf, axis=(1, 2), keepdims=True)
         var = jnp.maximum(msq - mean * mean, 0.0)
-    # re-read x for the normalize through an optimization barrier: without
-    # it XLA CSEs this cast with the stats pass's and MATERIALIZES the
-    # fp32 copy of the full-res tensor to HBM (measured 7.2 ms/step of
-    # convert_element_type at 512x256 bs32); barriered, each cast fuses
-    # into its consumer and the fp32 tensor never exists in memory.
+    return mean, lax.rsqrt(var + eps)
+
+
+def _spatial_mean2(a, b):
+    """Means of two fp32 [N,H,W,C] tensors over (H, W), keepdims — the IN
+    backward's reduction pair, lane-folded like the forward stats when C
+    under-fills the 128 vector lanes."""
+    n, h, w, c = a.shape
+    f = 128 // c if (c < 128 and 128 % c == 0) else 1
+    cnt = float(h * w)
+    if _IN_LANE_FOLD and f > 1 and w % f == 0:
+        av = a.reshape(n, h, w // f, f * c)
+        bv = b.reshape(n, h, w // f, f * c)
+        sa = jnp.sum(av, axis=(1, 2)).reshape(n, f, c).sum(axis=1)
+        sb = jnp.sum(bv, axis=(1, 2)).reshape(n, f, c).sum(axis=1)
+        return (sa / cnt)[:, None, None, :], (sb / cnt)[:, None, None, :]
+    return (
+        jnp.mean(a, axis=(1, 2), keepdims=True),
+        jnp.mean(b, axis=(1, 2), keepdims=True),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _in_act(x, eps, act):
+    """IN(affine=False) [+ relu/lrelu] with a byte-diet custom VJP.
+
+    jax's native VJP of the fp32-stats normalize saves TWO fp32 copies of
+    the full-res input (the upcast and the centered tensor) per norm site
+    — 11.1 GB of the flagship step's 27.9 GB semantic residual set
+    (reports/byte_ledger_r04.json, VERDICT r3 next#2). This VJP saves
+    only (x bf16, mean, rstd): x is the producing conv's output, which
+    the conv's weight-grad keeps alive anyway, so the marginal saved
+    bytes per site are the [N,1,1,C] stats. Backward recomputes xhat (one
+    fused mul-add) and, when the activation is folded in, the activation
+    mask — so IN+act together save NOTHING full-res beyond the conv
+    output. Same closed-form dx as autodiff:
+        dx = rstd * (g - mean(g) - xhat * mean(g * xhat))
+    computed in fp32 with the forward's lane-folded reductions.
+    Activation-grad convention at exactly 0 matches torch (grad 0), vs
+    jnp.maximum's propagate-on-tie; bf16 ties are measure-zero and the
+    parity suite pins the HIGHEST path, which doesn't route here."""
+    y, _, _ = _in_act_fwd_impl(x, eps, act)
+    return y
+
+
+def _apply_act(y, act):
+    if act == "relu":
+        return jnp.maximum(y, 0)
+    if act == "lrelu":
+        return jnp.where(y >= 0, y, y * jnp.asarray(0.2, y.dtype))
+    return y
+
+
+def _in_act_fwd_impl(x, eps, act):
+    mean, rstd = _in_stats(x, eps)
     xn = lax.optimization_barrier(x).astype(jnp.float32)
-    return ((xn - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
+    y = ((xn - mean) * rstd).astype(x.dtype)
+    return _apply_act(y, act), mean, rstd
+
+
+def _in_act_fwd(x, eps, act):
+    y, mean, rstd = _in_act_fwd_impl(x, eps, act)
+    return y, (x, mean, rstd)
+
+
+def _in_act_bwd(eps, act, res, dy):
+    x, mean, rstd = res
+    xf = lax.optimization_barrier(x).astype(jnp.float32)
+    xhat = (xf - mean) * rstd
+    g = dy.astype(jnp.float32)
+    if act == "relu":
+        g = jnp.where(xhat > 0, g, 0.0)
+    elif act == "lrelu":
+        g = jnp.where(xhat > 0, g, g * 0.2)
+    g_mean, gx_mean = _spatial_mean2(g, g * xhat)
+    dx = rstd * (g - g_mean - xhat * gx_mean)
+    return (dx.astype(x.dtype),)
+
+
+_in_act.defvjp(_in_act_fwd, _in_act_bwd)
+
+# Byte-diet custom VJP for IN (+folded activation) — default ON for the
+# perf tier; HIMAN_IN_CUSTOM_VJP=0 restores jax-native autodiff for A/B.
+import os as _os
+
+_IN_CUSTOM_VJP = _os.environ.get("HIMAN_IN_CUSTOM_VJP", "1") != "0"
+
+
+def instance_norm_act(x, act, *, eps=1e-5):
+    """Fused IN + activation ('none'|'relu'|'lrelu'): on the perf tier the
+    custom VJP folds the activation mask into the norm backward so the
+    pair saves no full-res residual beyond the producing conv's output.
+    Parity tier (Precision.HIGHEST) composes the literal torch forms."""
+    if _PRECISION != lax.Precision.HIGHEST and _IN_CUSTOM_VJP and x.ndim == 4:
+        return _in_act(x, eps, act)
+    y = instance_norm(x, eps=eps)
+    if act == "relu":
+        return relu(y)
+    if act == "lrelu":
+        return leaky_relu(y, 0.2)
+    return y
 
 
 def batch_norm_inference(x, mean, var, gamma, beta, *, eps=1e-5):
