@@ -160,6 +160,11 @@ def main():
                 "mfu": round(img_per_s * TFLOP_PER_IMG / V5E_BF16_PEAK, 3),
                 "baseline_basis": "A100 est 22.3 img/s from measured 1.179"
                 " TFLOP/img x 35 TF/s TF32 x 0.75 eager (TORCH_BASELINE.json)",
+                "mfu_basis": "model FLOPs: 1.179 TFLOP/img (TORCH_BASELINE"
+                " layer walk). Executed conv work on-chip is 1.254 TFLOP/img"
+                " (ROOFLINE_step true-MAC ledger: + lane-padded channels +"
+                " boundary-pad taps); MFU uses the model number, so it"
+                " understates hardware utilization by ~6%.",
             }
         )
     )

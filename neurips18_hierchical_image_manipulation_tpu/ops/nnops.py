@@ -1069,11 +1069,18 @@ def _in_act_bwd(eps, act, res, dy):
 
 _in_act.defvjp(_in_act_fwd, _in_act_bwd)
 
-# Byte-diet custom VJP for IN (+folded activation) — default ON for the
-# perf tier; HIMAN_IN_CUSTOM_VJP=0 restores jax-native autodiff for A/B.
+# Byte-diet custom VJP for IN (+folded activation). Measured END-TO-END
+# (flagship bs32 512x256 GAN step, v5e, 2026-08-19, reports/
+# remat_sweep_r04.jsonl): custom 93.04 vs native 93.44 img/s — the
+# semantic save-set halves (27.9 -> 15.3 GB, fp32 residuals eliminated,
+# reports/byte_ledger_r04*.json) but XLA's auto-remat was already keeping
+# those bytes virtual at this batch, and the explicit recompute schedules
+# 0.4% worse. Default OFF like the other measured-slower fused kernels;
+# HIMAN_IN_CUSTOM_VJP=1 enables (worth re-testing on configs with higher
+# HBM pressure, e.g. 1024p).
 import os as _os
 
-_IN_CUSTOM_VJP = _os.environ.get("HIMAN_IN_CUSTOM_VJP", "1") != "0"
+_IN_CUSTOM_VJP = _os.environ.get("HIMAN_IN_CUSTOM_VJP", "0") == "1"
 
 
 def instance_norm_act(x, act, *, eps=1e-5):

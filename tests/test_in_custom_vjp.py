@@ -80,9 +80,12 @@ def test_in_act_grad_matches_torch_form():
         np.testing.assert_allclose(g[idx], fd, atol=5e-3, rtol=5e-3)
 
 
-def test_instance_norm_routes_through_custom_vjp():
-    """Perf tier routes plain instance_norm via the custom VJP (value
-    equality with the HIGHEST parity path)."""
+def test_instance_norm_routes_through_custom_vjp(monkeypatch):
+    """With the gate ON, the perf tier routes plain instance_norm via the
+    custom VJP (value equality with the HIGHEST parity path). The gate
+    defaults OFF (measured 0.4% slower end-to-end at bs32 — see the
+    nnops gate comment / reports/remat_sweep_r04.jsonl)."""
+    monkeypatch.setattr(nnops, "_IN_CUSTOM_VJP", True)
     prev = nnops.get_default_precision()
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))

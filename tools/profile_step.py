@@ -39,16 +39,31 @@ def run_traced_step():
     from neurips18_hierchical_image_manipulation_tpu.train.state import GANTrainState
 
     nnops.set_default_precision("default")
-    bs = int(os.environ.get("HIMAN_BENCH_BS", "32"))
-    opt = MaskToImageTrainOptions(
-        name="prof", checkpoints_dir="/tmp/himan_prof_ckpt", label_nc=35,
-        ngf=64, ndf=64, n_downsample_global=4, n_blocks_global=9,
-        num_D=2, n_layers_D=3, batchSize=bs, use_masked_image=True,
-        dtype="bfloat16",
-    )
+    # HIMAN_PROF_CONFIG=1024p traces the coarse-to-fine LocalEnhancer
+    # train step (bench_all.py's --with_1024p config) instead of the
+    # flagship — VERDICT r3 next#6: give the 1024p config its anatomy.
+    cfg = os.environ.get("HIMAN_PROF_CONFIG", "flagship")
+    if cfg == "1024p":
+        bs = int(os.environ.get("HIMAN_BENCH_BS", "4"))  # bench_all's bs1k
+        opt = MaskToImageTrainOptions(
+            name="prof1k", checkpoints_dir="/tmp/himan_prof_ckpt", label_nc=35,
+            netG="local", ngf=32, n_downsample_global=4, n_blocks_global=9,
+            n_blocks_local=3, num_D=3, n_layers_D=3, batchSize=bs,
+            use_masked_image=True, dtype="bfloat16",
+        )
+        hw = (512, 1024)
+    else:
+        bs = int(os.environ.get("HIMAN_BENCH_BS", "32"))
+        opt = MaskToImageTrainOptions(
+            name="prof", checkpoints_dir="/tmp/himan_prof_ckpt", label_nc=35,
+            ngf=64, ndf=64, n_downsample_global=4, n_blocks_global=9,
+            num_D=2, n_layers_D=3, batchSize=bs, use_masked_image=True,
+            dtype="bfloat16",
+        )
+        hw = (256, 512)
     model = create_model(opt)
     rng = np.random.RandomState(0)
-    batch = synthetic_batch(rng, batch_size=bs, hw=(256, 512), label_nc=35)
+    batch = synthetic_batch(rng, batch_size=bs, hw=hw, label_nc=35)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     params = jax.jit(lambda r: model.init_params(r, batch))(jax.random.PRNGKey(0))
     vgg_params = params.pop("VGG", None)
