@@ -114,15 +114,32 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
     # Sampling is a pure function of (seed, state.step), so resume
     # continues the stream exactly (VERDICT r3 next#1).
     fused = (
-        mesh is None
-        and pool is None
+        pool is None
         and hasattr(loader, "fused_sampler")
         and getattr(opt, "fused_resident_step", True)
     )
-    if fused:
+    if fused and mesh is None:
         sample_fn, resident_data = loader.fused_sampler()
         fused_step, fused_step_wb = train_steps.make_resident_train_step(
             model,
+            sample_fn,
+            loader.n_samples,
+            opt.batchSize,
+            vgg_params=vgg_params,
+            compute_dtype=compute_dtype,
+            shuffle=not opt.serial_batches,
+            seed=opt.seed,
+        )
+    elif fused:
+        # multi-chip fused resident: planes replicated over the mesh, each
+        # device gathers+augments its shard inside shard_map — zero
+        # per-step H2D on every chip (train/steps.py
+        # make_resident_dp_train_step)
+        sample_fn, resident_data = loader.fused_sampler()
+        resident_data = train_steps.replicate(resident_data, mesh)
+        fused_step, fused_step_wb = train_steps.make_resident_dp_train_step(
+            model,
+            mesh,
             sample_fn,
             loader.n_samples,
             opt.batchSize,

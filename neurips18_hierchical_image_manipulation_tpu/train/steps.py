@@ -156,6 +156,95 @@ def make_resident_train_step(
     return step, step_with_batch
 
 
+def make_resident_dp_train_step(
+    model,
+    mesh: Mesh,
+    sample_fn,
+    n_samples,
+    batch_size,
+    vgg_params=None,
+    axis="data",
+    compute_dtype=None,
+    shuffle=True,
+    seed=0,
+    donate=True,
+):
+    """Data-parallel FUSED resident step: the multi-chip analogue of
+    ``make_resident_train_step`` — resident planes REPLICATED over the
+    mesh, each device gathers + augments ITS shard of the global batch
+    inside shard_map, gradients pmean over ICI. Zero per-step H2D on
+    every chip.
+
+    Determinism contract: the epoch permutation derives from
+    (seed, epoch) with the SAME key on every device, so the global batch
+    for step k is identical to the single-device fused stream; device d
+    takes rows [i*bs + d*bs_dev, ...). Augmentation draws fold in the
+    device index so crop/flip decorrelate across shards (they draw from a
+    different stream than single-device — the documented resident-mode
+    contract). ``batch_size`` is GLOBAL and must divide by the mesh size.
+    """
+    axes = (axis,) if isinstance(axis, str) else tuple(axis)
+    n_dev = 1
+    for a in axes:
+        n_dev *= mesh.shape[a]
+    if batch_size % n_dev:
+        raise ValueError(
+            f"global batch {batch_size} not divisible by mesh size {n_dev}"
+        )
+    bs_dev = batch_size // n_dev
+    steps_per_epoch = max(n_samples // batch_size, 1)
+    shuffle_key = jax.random.PRNGKey(seed ^ 0x5EED)
+    sample_key = jax.random.PRNGKey(seed ^ 0xA3C0)
+    loss_fn = _make_loss_fn(model, vgg_params, compute_dtype)
+
+    def device_step(state, data):
+        rng, sub = jax.random.split(state.rng)
+        didx = lax.axis_index(axes[0])
+        for a in axes[1:]:
+            didx = didx * mesh.shape[a] + lax.axis_index(a)
+        epoch = state.step // steps_per_epoch
+        i = state.step % steps_per_epoch
+        if shuffle:
+            perm = jax.random.permutation(
+                jax.random.fold_in(shuffle_key, epoch), n_samples
+            )
+        else:
+            perm = jnp.arange(n_samples)
+        start = i * batch_size + didx * bs_dev
+        idx = lax.dynamic_slice(perm, (start,), (bs_dev,))
+        skey = jax.random.fold_in(
+            jax.random.fold_in(sample_key, state.step), didx
+        )
+        batch = dict(sample_fn(data, idx, skey))
+        sub = jax.random.fold_in(sub, didx)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (metrics, fake)), grads = grad_fn(state.params, batch, sub)
+        grads = lax.pmean(grads, axes)
+        metrics = lax.pmean(metrics, axes)
+        new_state = state.apply_gradients(grads).replace(rng=rng)
+        return new_state, metrics, fake, batch
+
+    sharded = jax.shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P()),  # state AND resident planes replicated
+        out_specs=(P(), P(), P(axes), P(axes)),
+        check_vma=False,
+    )
+    donate_args = (0,) if donate else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate_args)
+    def step(state, data):
+        new_state, metrics, fake, _ = sharded(state, data)
+        return new_state, metrics, fake
+
+    @functools.partial(jax.jit, donate_argnums=donate_args)
+    def step_with_batch(state, data):
+        return sharded(state, data)
+
+    return step, step_with_batch
+
+
 def make_pooled_train_steps(model, vgg_params=None, compute_dtype=None):
     """pool_size>0 path (SURVEY.md C20): the reference feeds D a REPLAYED
     fake from the ImagePool while G trains against the fresh fake. Split
