@@ -111,10 +111,19 @@ class Pix2PixHDModel:
         if img is not None and img.dtype == jnp.uint8:
             # normalize in the dtype the step actually computes in: any
             # float batch leaf (the bf16 policy casts those first), else
-            # the params' float dtype, else f32 (fresh init)
+            # the params' float dtype, else f32 (fresh init). 'boxes' is
+            # NOT a valid dtype witness: the bf16 cast deliberately
+            # excludes it (train/steps._COORD_KEYS keeps pixel coords
+            # fp32), so under --uint8_transfer it can be the ONLY float
+            # leaf and would fp32-poison the conv stack against bf16
+            # params (crashed bench_loop's fused u8 legs, 2026-08-19)
             dt = None
-            for v in batch.values():
-                if hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating):
+            for k, v in batch.items():
+                if (
+                    k != "boxes"
+                    and hasattr(v, "dtype")
+                    and jnp.issubdtype(v.dtype, jnp.floating)
+                ):
                     dt = v.dtype
                     break
             if dt is None and params is not None:
@@ -135,7 +144,10 @@ class Pix2PixHDModel:
             boxes = batch["boxes"]
             masked = boxcomposite.mask_box(batch["image"], boxes, fill=0.0)
             g_extra.append(masked)
-        if self.use_features() and params is not None:
+        if self.use_features() and params is not None and "E" in params:
+            # d_losses passes a {G, D}-only tree purely as a dtype witness
+            # for the uint8 normalize — no encoder features there (its
+            # cond-parity assertion guards this)
             g_extra.append(self._instance_features(params, batch).astype(dt))
         if g_extra:
             rgb = g_extra[0] if len(g_extra) == 1 else jnp.concatenate(g_extra, -1)
@@ -372,11 +384,12 @@ class Pix2PixHDModel:
         """D-only objective against a (possibly pool-replayed) fake —
         the second half of the pool_size>0 split step (SURVEY C20).
 
-        encode_input runs WITHOUT params here: encoder features enter only
-        g_input (never ``cond``), so D's conditioning is identical to the
-        G step's — guarded by the assertion below (VERDICT r1 weak#8)."""
+        encode_input sees params only as a DTYPE witness for the uint8
+        normalize (encoder features enter only g_input, never ``cond``,
+        so D's conditioning is identical to the G step's — guarded by the
+        assertion below, VERDICT r1 weak#8)."""
         opt = self.opt
-        _, cond, real = self.encode_input(batch)
+        _, cond, real = self.encode_input(batch, params=params)
         cond0 = cond[0] if isinstance(cond, (tuple, list)) else cond
         assert cond0.shape[-1] == self.opt.label_nc + (
             0 if self.opt.no_instance else 1
