@@ -77,9 +77,18 @@ def _crop_resize_pil_one(img, box, out_hw):
     wy = _pil_resample_weights(y0, bh, out_hw[0], img.shape[0])
     wx = _pil_resample_weights(x0, bw, out_hw[1], img.shape[1])
     f = img.astype(jnp.float32)
-    return jnp.einsum(
+    y = jnp.einsum(
         "oy,yxc,px->opc", wy, f, wx, preferred_element_type=jnp.float32
-    ).astype(img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32)
+    )
+    if jnp.issubdtype(img.dtype, jnp.floating):
+        return y.astype(img.dtype)
+    if jnp.issubdtype(img.dtype, jnp.unsignedinteger):
+        # PIL clamps cubic overshoot to the uint range; match (it also
+        # ROUNDS the intermediate separable pass to uint8, which we
+        # deliberately don't — the float pipeline is strictly more
+        # accurate; see test_boxcomposite's upscale bound)
+        return jnp.clip(y, 0.0, float(jnp.iinfo(img.dtype).max))
+    return y
 
 
 def _crop_resize_one(img, box, out_hw, method):

@@ -99,3 +99,43 @@ def test_context_window_host_device_equality():
                     dev[i], np.asarray(host, np.float64), atol=1e-3,
                     err_msg=f"box {boxes[i]} out_size={out_size} margin={margin}",
                 )
+
+
+def test_pil_bicubic_crop_resize_matches_pil():
+    """ops/boxcomposite._crop_resize_pil_one vs PIL's own bicubic resize of
+    the numpy-cropped window — downscale (antialias-widened kernel),
+    upscale, and an edge-touching window. PIL quantizes coefficients to
+    8-bit fixed point on uint8 data, so the bound is ~1 uint8 step."""
+    from PIL import Image
+
+    from neurips18_hierchical_image_manipulation_tpu.ops import boxcomposite
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 255, (96, 160, 3), np.uint8)
+    cases = [
+        # (window, out, mean_tol, max_tol)
+        ((8, 16, 64, 128), (16, 16), 0.5, 1.5),   # 4-8x downscale
+        # upscale: PIL ROUNDS its intermediate separable pass to uint8 and
+        # clamps overshoot per pass; our float pipeline only clamps at the
+        # end, so overshooting cubic lobes differ by up to ~10/255 at hard
+        # edges (PIL's quantization artifact — measured 2026-08-19)
+        ((10, 20, 24, 40), (48, 48), 1.0, 12.0),
+        ((0, 0, 96, 160), (32, 32), 0.5, 1.5),    # full frame (edge clip)
+        ((60, 120, 36, 40), (20, 20), 0.5, 1.5),  # bottom/right edge
+    ]
+    for (y0, x0, bh, bw), out, mean_tol, max_tol in cases:
+        box = jnp.asarray([y0, x0, bh, bw], jnp.float32)
+        dev = np.asarray(
+            boxcomposite._crop_resize_pil_one(jnp.asarray(img), box, out)
+        )
+        host = np.asarray(
+            Image.fromarray(img[y0 : y0 + bh, x0 : x0 + bw]).resize(
+                (out[1], out[0]), Image.BICUBIC
+            ),
+            np.float32,
+        )
+        d = np.abs(dev - host)
+        assert d.mean() < mean_tol and d.max() < max_tol, (
+            f"window {(y0, x0, bh, bw)}->{out}: mean {d.mean():.3f} "
+            f"max {d.max():.3f}"
+        )
