@@ -168,6 +168,8 @@ class Pix2PixHDModel:
                 # (it needs the unpacked pyramid anyway).
                 from ..ops.pallas import config as pallas_config
 
+                from ..ops.pallas import encode as pallas_encode
+
                 if (
                     pallas_config.encode_enabled()
                     and inst is not None
@@ -175,14 +177,15 @@ class Pix2PixHDModel:
                     and len(g_extra) == 1
                     and h % 32 == 0  # cond kernel row-tile; odd heights
                     # would force a whole-image VMEM block — jnp path then
+                    # VMEM gate (encode.rows_fit): 1024p-class widths OOM
+                    # scoped vmem in compile
+                    and pallas_encode.rows_fit(w, self.opt.label_nc)
                 ):
                     # Pallas fused build: pads + edges + one-hot + mask_box
                     # + s2d2 in one VMEM pass per tile (ops/pallas/encode).
                     # Mode 2 keeps cond on XLA's fused build so the
                     # one-hot -> avgpool producer fusion of the D cond
                     # pyramid survives (see pallas/config.py).
-                    from ..ops.pallas import encode as pallas_encode
-
                     g_packed = pallas_encode.encode_packed(
                         batch["label"], batch["inst"], batch["image"],
                         batch["boxes"], self.opt.label_nc, dt,
@@ -245,15 +248,18 @@ class Pix2PixHDModel:
             # a full MXU pass). D's cond is a contiguous channel slice.
             from ..ops.pallas import config as pallas_config
 
+            from ..ops.pallas import encode as pallas_encode
+
             if (
                 pallas_config.encode_enabled()
                 and inst is not None
                 and not self.use_features()
                 and len(g_extra) == 1
                 and h % 32 == 0
+                # VMEM gate: the row tile scales with W x (nc+4); 1024p
+                # shapes OOM scoped vmem in compile (encode.rows_fit)
+                and pallas_encode.rows_fit(w, self.opt.label_nc)
             ):
-                from ..ops.pallas import encode as pallas_encode
-
                 g_full = pallas_encode.encode_full(
                     batch["label"], batch["inst"], batch["image"],
                     batch["boxes"], self.opt.label_nc, dt,

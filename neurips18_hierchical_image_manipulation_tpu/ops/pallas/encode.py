@@ -48,6 +48,20 @@ INTERPRET = False
 _HT = 32  # full-res expansion row tile
 _PT = 8   # g_packed packed-row tile
 
+# Scoped-VMEM eligibility: the row tile's working set scales with
+# W x (nc+4). The proven-good shape is the flagship 512x256 bs32
+# (W=512, nc=35 -> runs for 2 rounds); at 1024x512 the SAME kernel dies
+# in compile with "Ran out of memory in memory space vmem ... 32.00M and
+# limit 16.00M" (measured 2026-08-19, LocalEnhancer 1024p trace attempt)
+# — the compiler's stack accounting is superlinear in W, so gate at the
+# proven row footprint and fall back to XLA's fused build above it.
+_MAX_ROW_ELEMS = 512 * 39
+
+
+def rows_fit(w: int, nc: int) -> bool:
+    """True if the expansion row tile fits scoped VMEM (see note above)."""
+    return w * (nc + 4) <= _MAX_ROW_ELEMS
+
 
 def _edge_plane(inst, dtype):
     """(B,H,W) int -> (B,H,W) edge plane (pix2pixHD get_edges)."""
