@@ -442,3 +442,17 @@ def test_encode_kernel_mode3_model_path(rng):
         assert np.isfinite(float(ld))
     finally:
         nnops.set_default_precision("highest")
+
+
+def test_encode_vmem_gate_rejects_1024p_widths():
+    """The encode kernel's scoped-VMEM row budget (encode.rows_fit): the
+    flagship 512-wide shape is eligible, the 1024p LocalEnhancer width is
+    NOT — at 1024x512 the kernel dies in COMPILE with a scoped-vmem OOM
+    (measured 2026-08-19), which silently broke every 1024p train/bench
+    run after the mode-2 default flip. The gate must fall back to XLA's
+    fused build there."""
+    from neurips18_hierchical_image_manipulation_tpu.ops.pallas import encode
+
+    assert encode.rows_fit(512, 35)       # flagship: proven on-chip
+    assert not encode.rows_fit(1024, 35)  # 1024p: compile-time VMEM OOM
+    assert not encode.rows_fit(512, 100)  # wide label spaces scale too
