@@ -1069,18 +1069,28 @@ def _in_act_bwd(eps, act, res, dy):
 
 _in_act.defvjp(_in_act_fwd, _in_act_bwd)
 
-# Byte-diet custom VJP for IN (+folded activation). Measured END-TO-END
-# (flagship bs32 512x256 GAN step, v5e, 2026-08-19, reports/
-# remat_sweep_r04.jsonl): custom 93.04 vs native 93.44 img/s — the
-# semantic save-set halves (27.9 -> 15.3 GB, fp32 residuals eliminated,
-# reports/byte_ledger_r04*.json) but XLA's auto-remat was already keeping
-# those bytes virtual at this batch, and the explicit recompute schedules
-# 0.4% worse. Default OFF like the other measured-slower fused kernels;
-# HIMAN_IN_CUSTOM_VJP=1 enables (worth re-testing on configs with higher
-# HBM pressure, e.g. 1024p).
+# Byte-diet custom VJP for IN (+folded activation), CONFIG-KEYED.
+# Measured END-TO-END (v5e, 2026-08-19): flagship bs32 512x256 custom
+# 93.04 vs native 93.44 img/s (reports/remat_sweep_r04.jsonl) — XLA's
+# auto-remat already keeps the deletable bytes virtual there and the
+# explicit recompute schedules 0.4% worse; but the BANDWIDTH-bound 1024p
+# LocalEnhancer materializes its fp32 IN converts (TRACE_1024p_r04.txt:
+# ~19 ms of convert_element_type) and the custom backward WINS +7.1%
+# (10.40 -> 11.14 img/s, reports/bench_1024p_r04.jsonl). The model
+# factory keys the gate on the config (netG=='local' -> on); an explicit
+# HIMAN_IN_CUSTOM_VJP=0/1 env var wins over the auto choice.
 import os as _os
 
-_IN_CUSTOM_VJP = _os.environ.get("HIMAN_IN_CUSTOM_VJP", "0") == "1"
+_IN_CUSTOM_VJP_ENV = _os.environ.get("HIMAN_IN_CUSTOM_VJP")
+_IN_CUSTOM_VJP = _IN_CUSTOM_VJP_ENV == "1"
+
+
+def set_in_custom_vjp(on: bool) -> None:
+    """Config-keyed auto gate (models/factory.py). No-op when the user
+    set HIMAN_IN_CUSTOM_VJP explicitly."""
+    global _IN_CUSTOM_VJP
+    if _IN_CUSTOM_VJP_ENV is None:
+        _IN_CUSTOM_VJP = bool(on)
 
 
 def instance_norm_act(x, act, *, eps=1e-5):
