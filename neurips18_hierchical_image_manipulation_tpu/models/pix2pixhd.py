@@ -179,7 +179,7 @@ class Pix2PixHDModel:
                     # would force a whole-image VMEM block — jnp path then
                     # VMEM gate (encode.rows_fit): 1024p-class widths OOM
                     # scoped vmem in compile
-                    and pallas_encode.rows_fit(w, self.opt.label_nc)
+                    and pallas_encode.rows_fit(w, self.opt.label_nc, dt)
                 ):
                     # Pallas fused build: pads + edges + one-hot + mask_box
                     # + s2d2 in one VMEM pass per tile (ops/pallas/encode).
@@ -258,7 +258,7 @@ class Pix2PixHDModel:
                 and h % 32 == 0
                 # VMEM gate: the row tile scales with W x (nc+4); 1024p
                 # shapes OOM scoped vmem in compile (encode.rows_fit)
-                and pallas_encode.rows_fit(w, self.opt.label_nc)
+                and pallas_encode.rows_fit(w, self.opt.label_nc, dt)
             ):
                 g_full = pallas_encode.encode_full(
                     batch["label"], batch["inst"], batch["image"],

@@ -49,18 +49,20 @@ _HT = 32  # full-res expansion row tile
 _PT = 8   # g_packed packed-row tile
 
 # Scoped-VMEM eligibility: the row tile's working set scales with
-# W x (nc+4). The proven-good shape is the flagship 512x256 bs32
-# (W=512, nc=35 -> runs for 2 rounds); at 1024x512 the SAME kernel dies
-# in compile with "Ran out of memory in memory space vmem ... 32.00M and
-# limit 16.00M" (measured 2026-08-19, LocalEnhancer 1024p trace attempt)
-# — the compiler's stack accounting is superlinear in W, so gate at the
-# proven row footprint and fall back to XLA's fused build above it.
-_MAX_ROW_ELEMS = 512 * 39
+# W x (nc+4) x itemsize. The proven-good shape is the flagship 512x256
+# bs32 bf16 (W=512, nc=35 -> ran for 2 rounds); measured failures
+# (2026-08-19): 1024x512 bf16 dies in compile with "Ran out of memory in
+# memory space vmem ... 32.00M and limit 16.00M", and the 512-wide
+# two-step pipeline at FP32 dies 8 KB over the same limit (f32 doubles
+# the row bytes) — the compiler's stack accounting is superlinear in W,
+# so gate at the proven row BYTE footprint and fall back to XLA's fused
+# build above it.
+_MAX_ROW_BYTES = 512 * 39 * 2  # the proven bf16 flagship row
 
 
-def rows_fit(w: int, nc: int) -> bool:
+def rows_fit(w: int, nc: int, dtype=jnp.bfloat16) -> bool:
     """True if the expansion row tile fits scoped VMEM (see note above)."""
-    return w * (nc + 4) <= _MAX_ROW_ELEMS
+    return w * (nc + 4) * jnp.dtype(dtype).itemsize <= _MAX_ROW_BYTES
 
 
 def _edge_plane(inst, dtype):

@@ -453,6 +453,9 @@ def test_encode_vmem_gate_rejects_1024p_widths():
     fused build there."""
     from neurips18_hierchical_image_manipulation_tpu.ops.pallas import encode
 
-    assert encode.rows_fit(512, 35)       # flagship: proven on-chip
-    assert not encode.rows_fit(1024, 35)  # 1024p: compile-time VMEM OOM
-    assert not encode.rows_fit(512, 100)  # wide label spaces scale too
+    import jax.numpy as jnp
+
+    assert encode.rows_fit(512, 35)                  # flagship bf16: proven
+    assert not encode.rows_fit(1024, 35)             # 1024p: compile OOM
+    assert not encode.rows_fit(512, 100)             # wide label spaces
+    assert not encode.rows_fit(512, 35, jnp.float32)  # f32 two-step: 8KB over
