@@ -117,6 +117,17 @@ class BaseOptions:
 
     # TPU-native extensions
     dtype: str = "float32"
+    # conv/MXU precision for the jnp ops tier (ops/nnops.py):
+    #   auto    -> 'default' under --dtype bfloat16 (the perf tier: packed
+    #              stems, phasepack head conv, lane padding, Pallas encode
+    #              kernel, IN custom VJP), 'highest' under fp32 (the
+    #              bit-parity tier vs the CPU-torch oracle)
+    #   default/highest -> forced either way
+    # Round-4 fix: the CLI drivers previously never set this, so real
+    # training ran the parity tier even under --dtype bfloat16 (the
+    # committed r3 dynamics run's 79.2 img/s vs bench 93.4 was mostly
+    # this, not loader overhead).
+    conv_precision: str = "auto"
     no_pallas: bool = False
     mesh_devices: int = 0  # 0 = use every local device
     seed: int = 0

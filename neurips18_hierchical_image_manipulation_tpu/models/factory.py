@@ -13,6 +13,19 @@ def create_model(opt):
     from ..ops.pallas import config as pallas_config
 
     pallas_config.set_enabled(not getattr(opt, "no_pallas", False))
+    # Conv/MXU precision follows the config (--conv_precision, default
+    # 'auto'): bf16 configs get the perf tier (Precision.DEFAULT — packed
+    # stems, phasepack, lane padding, encode kernel, IN custom VJP gates
+    # all key off it), fp32 configs keep the bit-parity tier
+    # (Precision.HIGHEST vs the CPU-torch oracle). Before round 4 the CLI
+    # drivers never set this and real --dtype bfloat16 training ran the
+    # parity tier (~79 img/s in reports/dynamics_r03 vs 93.4 in bench.py).
+    prec = getattr(opt, "conv_precision", "auto")
+    if prec == "auto":
+        prec = "default" if getattr(opt, "dtype", "float32") == "bfloat16" else "highest"
+    if prec not in ("default", "highest"):
+        raise ValueError(f"--conv_precision must be auto|default|highest, got {prec!r}")
+    nnops.set_default_precision(prec)
     # Byte-diet IN custom VJP, keyed by config (measured v5e, 2026-08-19,
     # reports/bench_1024p_r04.jsonl + remat_sweep_r04.jsonl): the
     # bandwidth-bound LocalEnhancer family materializes its fp32 IN

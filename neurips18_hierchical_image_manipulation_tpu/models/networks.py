@@ -334,12 +334,30 @@ class _GlobalBackbone(nn.Module):
 
     @nn.compact
     def __call__(self, x, x2=None, train: bool = False):
+        # x may be a nnops.PackedStemInput (pre-padded reflect-3, s2d-by-2
+        # packed) — same packed stem region as GlobalGenerator: conv_in
+        # packed-io, IN+relu packed, down0 consumes packed and exits
+        # unpacked. Param tree identical across the two forms.
         db = self.norm == "instance"
-        h = nnops.reflect_pad(x, 3)
-        h2 = nnops.reflect_pad(x2, 3) if x2 is not None else None
-        h = Conv(self.ngf, 7, name="conv_in", dead_bias=db)(h, h2)
-        h = NormAct(self.norm, "relu", name="norm_in")(h)
-        for i in range(self.n_downsampling):
+        start = 0
+        if isinstance(x, nnops.PackedStemInput):
+            assert x2 is None and self.norm == "instance"
+            h2 = Conv(self.ngf, 7, name="conv_in", dead_bias=db, packed_s2d_io=True)(
+                x.packed
+            )
+            h2 = nnops.instance_norm_packed_act(h2, self.ngf, "relu")
+            h = Conv(
+                self.ngf * 2, 3, stride=2, padding=1, name="down0",
+                dead_bias=db, packed_s2d_in=True,
+            )(h2)
+            h = norm_act(h, self.norm)
+            start = 1
+        else:
+            h = nnops.reflect_pad(x, 3)
+            h2 = nnops.reflect_pad(x2, 3) if x2 is not None else None
+            h = Conv(self.ngf, 7, name="conv_in", dead_bias=db)(h, h2)
+            h = NormAct(self.norm, "relu", name="norm_in")(h)
+        for i in range(start, self.n_downsampling):
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
             h = NormAct(self.norm, "relu", name=f"norm_down{i}")(h)
         for i in range(self.n_blocks):
@@ -386,6 +404,21 @@ class LocalEnhancer(nn.Module):
             )
 
         ngf_global = self.ngf * (2**self.n_local_enhancers)
+        # s2d-by-2 packed stems (perf tier, exact math — see
+        # nnops.conv2d_s2d_packed_io / TRACE_1024p_r04.txt): the enhancer's
+        # full-res 7x7 conv_in (ngf=32 quarter-fills the 128 lanes at
+        # 1024x512, measured 76-81 TF/s) and the trunk's stem both run
+        # packed. Param tree identical; exit (down, stride 2) lands on the
+        # natural unpacked grid.
+        pack = (
+            nnops.stem_pack_enabled()
+            and self.norm == "instance"
+            and x2 is None
+            and self.n_downsample_global >= 1
+        )
+        g_in = pyramid[-1]
+        if pack and g_in.shape[1] % 2 == 0 and g_in.shape[2] % 2 == 0:
+            g_in = nnops.PackedStemInput(nnops.s2d2(nnops.reflect_pad(g_in, 3)))
         out = _GlobalBackbone(
             ngf_global,
             self.n_downsample_global,
@@ -393,19 +426,32 @@ class LocalEnhancer(nn.Module):
             self.norm,
             self.dropout,
             name="global",
-        )(pyramid[-1], pyramid2[-1], train)
+        )(g_in, pyramid2[-1], train)
 
         for n in range(1, self.n_local_enhancers + 1):
             ngf_n = self.ngf * (2 ** (self.n_local_enhancers - n))
             inp = pyramid[self.n_local_enhancers - n]
             inp2 = pyramid2[self.n_local_enhancers - n]
             db = self.norm == "instance"
-            h = nnops.reflect_pad(inp, 3)
-            h2 = nnops.reflect_pad(inp2, 3) if inp2 is not None else None
-            h = Conv(ngf_n, 7, name=f"local{n}_conv_in", dead_bias=db)(h, h2)
-            h = NormAct(self.norm, "relu", name=f"local{n}_norm_in")(h)
-            h = Conv(ngf_n * 2, 3, stride=2, padding=1, name=f"local{n}_down", dead_bias=db)(h)
-            h = NormAct(self.norm, "relu", name=f"local{n}_norm_down")(h)
+            if pack and inp.shape[1] % 2 == 0 and inp.shape[2] % 2 == 0:
+                xp = nnops.s2d2(nnops.reflect_pad(inp, 3))
+                h = Conv(
+                    ngf_n, 7, name=f"local{n}_conv_in",
+                    dead_bias=db, packed_s2d_io=True,
+                )(xp)
+                h = nnops.instance_norm_packed_act(h, ngf_n, "relu")
+                h = Conv(
+                    ngf_n * 2, 3, stride=2, padding=1, name=f"local{n}_down",
+                    dead_bias=db, packed_s2d_in=True,
+                )(h)
+                h = norm_act(h, self.norm)
+            else:
+                h = nnops.reflect_pad(inp, 3)
+                h2 = nnops.reflect_pad(inp2, 3) if inp2 is not None else None
+                h = Conv(ngf_n, 7, name=f"local{n}_conv_in", dead_bias=db)(h, h2)
+                h = NormAct(self.norm, "relu", name=f"local{n}_norm_in")(h)
+                h = Conv(ngf_n * 2, 3, stride=2, padding=1, name=f"local{n}_down", dead_bias=db)(h)
+                h = NormAct(self.norm, "relu", name=f"local{n}_norm_down")(h)
             h = h + out  # fuse trunk features
             for i in range(self.n_blocks_local):
                 h = ResnetBlock(

@@ -323,3 +323,41 @@ def test_box2mask_fused_resident_cli(dataroot, tmp_path):
     box2mask_train.main(flags)
     ckdir = os.path.join(str(tmp_path), "ckpt", "b2mfused")
     assert os.path.isdir(os.path.join(ckdir, "ckpt", "latest"))
+
+
+def test_conv_precision_follows_config():
+    """--conv_precision auto (round 4): --dtype bfloat16 engages the perf
+    tier (Precision.DEFAULT — the packed-stem / phasepack / encode-kernel
+    / IN-custom-VJP gates key off it), fp32 keeps the bit-parity tier.
+    Before this, the CLI drivers never set precision and real bf16
+    training ran the parity tier (reports/dynamics_r03's 79.2 img/s vs
+    bench.py's 93.4)."""
+    import jax
+
+    from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+        MaskToImageTrainOptions,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.models.factory import (
+        create_model,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+
+    prev = nnops.get_default_precision()
+    try:
+        create_model(MaskToImageTrainOptions(name="pa", dtype="bfloat16"))
+        assert nnops.get_default_precision() == jax.lax.Precision.DEFAULT
+        create_model(MaskToImageTrainOptions(name="pb"))
+        assert nnops.get_default_precision() == jax.lax.Precision.HIGHEST
+        # explicit override beats auto
+        create_model(
+            MaskToImageTrainOptions(
+                name="pc", dtype="bfloat16", conv_precision="highest"
+            )
+        )
+        assert nnops.get_default_precision() == jax.lax.Precision.HIGHEST
+        create_model(MaskToImageTrainOptions(name="pd", conv_precision="default"))
+        assert nnops.get_default_precision() == jax.lax.Precision.DEFAULT
+        with pytest.raises(ValueError):
+            create_model(MaskToImageTrainOptions(name="pe", conv_precision="bogus"))
+    finally:
+        nnops.set_default_precision(prev)

@@ -141,3 +141,52 @@ def test_dead_bias_exactly_cancelled_by_instance_norm(default_precision):
     y1 = nnops.instance_norm(x + b)
     # exact in exact arithmetic; |b| = 10x|x| costs a few mantissa bits
     np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=1e-3)
+
+
+def test_local_enhancer_packed_stems_match_literal(default_precision):
+    """LocalEnhancer packed stems (round 4: the full-res local conv_in and
+    the trunk stem run s2d-by-2 packed — networks.LocalEnhancer) match the
+    literal lowering, forward AND gradient, with the identical param
+    tree."""
+    from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+        MaskToImageTrainOptions,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.data.synthetic import (
+        synthetic_batch,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.models.factory import create_model
+
+    opt = MaskToImageTrainOptions(
+        name="t", checkpoints_dir="/tmp/t_lpack", label_nc=8, netG="local",
+        ngf=8, ndf=8, n_downsample_global=2, n_blocks_global=1,
+        n_blocks_local=1, num_D=1, n_layers_D=2, batchSize=2,
+        use_masked_image=True, no_vgg_loss=True,
+    )
+    model = create_model(opt)
+    rng = np.random.RandomState(4)
+    batch = synthetic_batch(rng, batch_size=2, hw=(32, 64), label_nc=8)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    params = model.init_params(jax.random.PRNGKey(0), batch)
+    g_input, _, _ = model.encode_input(batch)
+
+    def loss(pg):
+        return jnp.sum(jnp.sin(model.netG.apply(pg, *g_input)))
+
+    os.environ["HIMAN_STEM_PACK"] = "1"
+    fake_p = model.netG.apply(params["G"], *g_input)
+    grads_p = jax.grad(loss)(params["G"])
+    os.environ["HIMAN_STEM_PACK"] = "0"
+    try:
+        fake_l = model.netG.apply(params["G"], *g_input)
+        grads_l = jax.grad(loss)(params["G"])
+    finally:
+        os.environ["HIMAN_STEM_PACK"] = "1"
+    np.testing.assert_allclose(np.asarray(fake_p), np.asarray(fake_l), atol=1e-4)
+    flat_p = jax.tree_util.tree_leaves_with_path(grads_p)
+    flat_l = dict(jax.tree_util.tree_leaves_with_path(grads_l))
+    assert len(flat_p) == len(flat_l)
+    for path, leaf in flat_p:
+        np.testing.assert_allclose(
+            np.asarray(leaf), np.asarray(flat_l[path]), atol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )

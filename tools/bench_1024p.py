@@ -86,7 +86,11 @@ def main():
         "bs": args.bs,
         "env": {
             k: os.environ[k]
-            for k in ("HIMAN_IN_CUSTOM_VJP", "HIMAN_BENCH_REMAT_POLICY")
+            for k in (
+                "HIMAN_IN_CUSTOM_VJP",
+                "HIMAN_BENCH_REMAT_POLICY",
+                "HIMAN_STEM_PACK",
+            )
             if k in os.environ
         },
     }
