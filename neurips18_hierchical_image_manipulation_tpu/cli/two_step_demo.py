@@ -17,7 +17,11 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from ..configs.options import BoxToMaskTestOptions, MaskToImageTestOptions
+from ..configs.options import (
+    BoxToMaskTestOptions,
+    MaskToImageTestOptions,
+    _setup_jax_compile_cache,
+)
 from ..data.cityscapes import AlignedDataset
 from ..data.bbox import bboxes_from_instance_map
 from ..eval.two_step import TwoStepPipeline
@@ -43,6 +47,9 @@ def main(argv=None):
     p.add_argument("--fineSize_m2i", type=int, default=256)
     p.add_argument("--loadSize", type=int, default=512)
     args = p.parse_args(argv)
+    # the two-step chain is the longest compile in the repo (8-18 min over
+    # the axon tunnel) — the persistent cache matters most here
+    _setup_jax_compile_cache()
 
     def stage_opt(cls_, name, fine_size, **kw):
         """Build stage options, adopting the TRAINED run's architecture
@@ -58,9 +65,11 @@ def main(argv=None):
             import json
 
             cfg = json.load(open(cfg_path))
+            # dtype adopted too (round 4): a bf16-trained stage demos on
+            # the perf precision tier, same as its training ran
             for k in ("ngf", "n_downsample_global", "n_blocks_global",
                       "label_nc", "fineSize", "norm", "netG", "no_instance",
-                      "n_local_enhancers", "n_blocks_local"):
+                      "n_local_enhancers", "n_blocks_local", "dtype"):
                 if k in cfg and hasattr(opt, k):
                     setattr(opt, k, cfg[k])
             print(f"[{name}] adopted architecture from {cfg_path}")

@@ -316,6 +316,27 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
             parser.add_argument(f"--{f.name}", type=typ, default=default)
 
 
+def _setup_jax_compile_cache():
+    """Persistent XLA compile cache for the CLI drivers (round 4). Over
+    the axon tunnel a cold flagship train-step compile is 8-18 min; the
+    bench/tools tier always enabled the cache but the CLI drivers never
+    did, so every real training run re-paid the full compile. Resolution
+    order: $HIMAN_JAX_CACHE_DIR, else ``./.jax_cache`` when present
+    (running from a repo checkout — shares the bench/tools cache), else
+    ``~/.cache/himan_jax``."""
+    import jax
+
+    cache = os.environ.get("HIMAN_JAX_CACHE_DIR")
+    if not cache:
+        local = os.path.abspath(".jax_cache")
+        cache = local if os.path.isdir(local) else os.path.expanduser(
+            "~/.cache/himan_jax"
+        )
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
+
 def parse_cli(cls, argv: Optional[List[str]] = None):
     """argparse front-end over a dataclass config — gives the reference's
     ``python train.py --name x --batchSize 4 ...`` CLI surface."""
@@ -325,4 +346,5 @@ def parse_cli(cls, argv: Optional[List[str]] = None):
     _add_dataclass_args(parser, cls)
     ns, _unknown = parser.parse_known_args(argv)
     opt = cls(**{k: v for k, v in vars(ns).items() if v is not None})
+    _setup_jax_compile_cache()
     return opt.parse()

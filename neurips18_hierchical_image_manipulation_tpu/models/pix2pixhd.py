@@ -257,8 +257,9 @@ class Pix2PixHDModel:
                 and len(g_extra) == 1
                 and h % 32 == 0
                 # VMEM gate: the row tile scales with W x (nc+4); 1024p
-                # shapes OOM scoped vmem in compile (encode.rows_fit)
-                and pallas_encode.rows_fit(w, self.opt.label_nc, dt)
+                # shapes OOM scoped vmem in compile, and f32 dies at the
+                # byte limit (encode.full_rows_fit)
+                and pallas_encode.full_rows_fit(w, self.opt.label_nc, dt)
             ):
                 g_full = pallas_encode.encode_full(
                     batch["label"], batch["inst"], batch["image"],

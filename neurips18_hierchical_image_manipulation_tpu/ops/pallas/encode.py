@@ -61,8 +61,21 @@ _MAX_ROW_BYTES = 512 * 39 * 2  # the proven bf16 flagship row
 
 
 def rows_fit(w: int, nc: int, dtype=jnp.bfloat16) -> bool:
-    """True if the expansion row tile fits scoped VMEM (see note above)."""
+    """True if the expansion row tile fits scoped VMEM (see note above).
+    Gates the PACKED build (encode_packed; f32 at W=256 is proven on-chip
+    there — BENCH_secondary_r04's g_forward leg ran it)."""
     return w * (nc + 4) * jnp.dtype(dtype).itemsize <= _MAX_ROW_BYTES
+
+
+def full_rows_fit(w: int, nc: int, dtype=jnp.bfloat16) -> bool:
+    """Stricter gate for the FULL-res expansion (encode_full): f32 is
+    rejected outright — measured 2026-08-19, f32 W=256 nc=35 sits exactly
+    AT the byte limit yet dies in compile ("allocating on stack for
+    f32[16,128,256,39] ... 29.17M and limit 16.00M"): Mosaic's stack
+    accounting for the full-res kernel is worse than the packed one's,
+    and bf16 is the only itemsize ever proven good here."""
+    dt = jnp.dtype(dtype)
+    return dt.itemsize <= 2 and w * (nc + 4) * dt.itemsize <= _MAX_ROW_BYTES
 
 
 def _edge_plane(inst, dtype):

@@ -361,3 +361,24 @@ def test_conv_precision_follows_config():
             create_model(MaskToImageTrainOptions(name="pe", conv_precision="bogus"))
     finally:
         nnops.set_default_precision(prev)
+
+
+def test_cli_enables_persistent_compile_cache(tmp_path, monkeypatch):
+    """parse_cli wires the persistent XLA compile cache (round 4): real
+    CLI runs previously re-paid the full 8-18 min tunnel compile every
+    time because only bench/tools set jax_compilation_cache_dir."""
+    import jax
+
+    from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+        MaskToImageTestOptions,
+        parse_cli,
+    )
+
+    cache_dir = str(tmp_path / "jcache")
+    monkeypatch.setenv("HIMAN_JAX_CACHE_DIR", cache_dir)
+    parse_cli(
+        MaskToImageTestOptions,
+        ["--name", "cc", "--checkpoints_dir", str(tmp_path / "ck")],
+    )
+    assert jax.config.jax_compilation_cache_dir == cache_dir
+    assert os.path.isdir(cache_dir)

@@ -459,3 +459,10 @@ def test_encode_vmem_gate_rejects_1024p_widths():
     assert not encode.rows_fit(1024, 35)             # 1024p: compile OOM
     assert not encode.rows_fit(512, 100)             # wide label spaces
     assert not encode.rows_fit(512, 35, jnp.float32)  # f32 two-step: 8KB over
+    # full-res expansion (encode_full) gate is stricter: f32 dies in
+    # compile even AT the byte limit (measured 2026-08-19: W=256 nc=35 f32
+    # = exactly 39936 row bytes, scoped alloc 29.17M > 16M) — bf16 only
+    assert encode.full_rows_fit(512, 35)
+    assert not encode.full_rows_fit(256, 35, jnp.float32)
+    assert not encode.full_rows_fit(1024, 35)
+    assert encode.rows_fit(256, 35, jnp.float32)     # packed f32@256: proven

@@ -85,6 +85,10 @@ def main():
     m2i_opt = MaskToImageTestOptions(
         name="ba", checkpoints_dir="/tmp/himan_ba", label_nc=35, ngf=64,
         n_downsample_global=4, n_blocks_global=9, use_masked_image=True,
+        # perf tier explicitly: create_model resolves precision from the
+        # config since round 4, and these fp32 opts would otherwise flip
+        # the global precision back to HIGHEST mid-bench
+        conv_precision="default",
     )
     m2i = create_model(m2i_opt)
     b1 = synthetic_batch(rng, bs, hw=(128, 256), label_nc=35)
@@ -99,6 +103,7 @@ def main():
     b2m_opt = BoxToMaskTestOptions(
         name="ba2", checkpoints_dir="/tmp/himan_ba", label_nc=35, ngf=64,
         n_downsample_global=3, n_blocks_global=4, fineSize=128,
+        conv_precision="default",  # see m2i_opt
     )
     b2m = create_model(b2m_opt)
     b2 = synthetic_box2mask_batch(rng, bs, size=128, label_nc=35)
