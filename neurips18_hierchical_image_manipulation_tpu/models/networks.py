@@ -125,6 +125,10 @@ class ConvTranspose(nn.Module):
     padding: int = 1
     output_padding: int = 1
     dead_bias: bool = False  # see Conv.dead_bias — IN follows and cancels it
+    # packed_out: emit the s2d-by-2 PACKED output (N,H,W,4*features),
+    # phase-major — nnops.conv_transpose2d_packed_out (the packed enhancer
+    # tail). Same param tree; d2s2(output) == the literal convT exactly.
+    packed_out: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -136,6 +140,11 @@ class ConvTranspose(nn.Module):
         b = self.param("bias", zeros_init, (self.features,))
         if self.dead_bias:
             b = None
+        if self.packed_out:
+            assert (
+                self.kernel, self.stride, self.padding, self.output_padding
+            ) == (3, 2, 1, 1)
+            return nnops.conv_transpose2d_packed_out(x, w, b)
         return nnops.conv_transpose2d(
             x,
             w,
@@ -457,8 +466,20 @@ class LocalEnhancer(nn.Module):
                 h = ResnetBlock(
                     ngf_n * 2, self.norm, self.dropout, name=f"local{n}_res{i}"
                 )(h, train)
-            h = ConvTranspose(ngf_n, name=f"local{n}_up", dead_bias=db)(h)
-            h = NormAct(self.norm, "relu", name=f"local{n}_norm_up")(h)
+            if pack:
+                # packed tail: the up emits the phase-major packed output
+                # (one full-lane 2x2 matmul instead of the ~28 TF/s
+                # adjoint conv at this thin-channel full-res shape),
+                # IN+relu stays packed, one d2s2 unpacks for the head/next
+                # branch. d2s2(packed convT) == the literal convT exactly.
+                h = ConvTranspose(
+                    ngf_n, name=f"local{n}_up", dead_bias=db, packed_out=True
+                )(h)
+                h = nnops.instance_norm_packed_act(h, ngf_n, "relu")
+                h = nnops.d2s2(h)
+            else:
+                h = ConvTranspose(ngf_n, name=f"local{n}_up", dead_bias=db)(h)
+                h = NormAct(self.norm, "relu", name=f"local{n}_norm_up")(h)
             out = h
 
         out = nnops.reflect_pad(out, 3)

@@ -209,16 +209,13 @@ def conv_transpose2d_subpixel(x, w, b=None, *, precision=None):
     return y
 
 
-def conv_transpose2d_d2s(x, w, b=None, *, precision=None):
-    """ConvTranspose2d(k=3, s=2, p=1, op=1) as ONE 2x2 conv producing
-    4*Co channels followed by depth-to-space — the same phase math as
-    ``conv_transpose2d_subpixel`` but as a single MXU matmul (unused taps
-    zero-padded: 4 taps/output vs the naive dilated form's 9)."""
-    n, h, wd, ci = x.shape
+def _convt_d2s_kernel(w):
+    """Phase kernels for ConvTranspose2d(k3,s2,p1,op1) as one 2x2 conv to
+    4*Co phase-major channels: tap (dy,dx) contributes to phase p in
+    out[2i+p_r, 2j+p_c] per the subpixel decomposition."""
+    ci = w.shape[2]
     co = w.shape[-1]
     z = jnp.zeros_like(w[0, 0])
-    # phase kernels laid out (2,2,Ci,4,Co): tap (dy,dx) contributes to
-    # phase p in out[2i+p_r, 2j+p_c] per the subpixel decomposition
     k = jnp.stack(
         [
             # tap (0,0): all four phases read x[i,j]
@@ -226,7 +223,7 @@ def conv_transpose2d_d2s(x, w, b=None, *, precision=None):
             # tap (0,1): phases (0,1) and (1,1) read x[i,j+1]
             jnp.stack([z, w[1, 0], z, w[2, 0]], axis=-2),
         ]
-    )  # (2, Ci, 4, Co) after inner stacks -> shape (2,2,Ci,4,Co)? build row2:
+    )
     k2 = jnp.stack(
         [
             # tap (1,0): phases (1,0) and (1,1) read x[i+1,j]
@@ -235,13 +232,33 @@ def conv_transpose2d_d2s(x, w, b=None, *, precision=None):
             jnp.stack([z, z, z, w[0, 0]], axis=-2),
         ]
     )
-    kern = jnp.stack([k, k2]).reshape(2, 2, ci, 4 * co)
+    return jnp.stack([k, k2]).reshape(2, 2, ci, 4 * co)
+
+
+def conv_transpose2d_packed_out(x, w, b=None, *, precision=None):
+    """ConvTranspose2d(k=3, s=2, p=1, op=1) producing the s2d-by-2 PACKED
+    output (N, H, W, 4Co), phase-major — i.e. ``conv_transpose2d_d2s``
+    WITHOUT the trailing depth-to-space. ``d2s2(result)`` equals the
+    literal convT exactly. The packed enhancer tail's up: at the
+    LocalEnhancer's thin-channel full-res shape the adjoint form runs at
+    ~28 TF/s (TRACE_1024p_r04b.txt nnops:374) while this is one
+    full-lane 2x2 matmul, and the following IN+relu stays packed."""
     y4 = lax.conv_general_dilated(
-        x, kern, window_strides=(1, 1), padding=[(0, 1), (0, 1)],
+        x, _convt_d2s_kernel(w), window_strides=(1, 1),
+        padding=[(0, 1), (0, 1)],
         dimension_numbers=_DIMNUMS, precision=precision or _PRECISION,
     )  # (N,H,W,4Co), channel layout [phase(2x2), Co]
-    y = y4.reshape(n, h, wd, 2, 2, co)
-    y = y.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h, 2 * wd, co)
+    if b is not None:
+        y4 = y4 + jnp.tile(b, 4)
+    return y4
+
+
+def conv_transpose2d_d2s(x, w, b=None, *, precision=None):
+    """ConvTranspose2d(k=3, s=2, p=1, op=1) as ONE 2x2 conv producing
+    4*Co channels followed by depth-to-space — the same phase math as
+    ``conv_transpose2d_subpixel`` but as a single MXU matmul (unused taps
+    zero-padded: 4 taps/output vs the naive dilated form's 9)."""
+    y = d2s2(conv_transpose2d_packed_out(x, w, precision=precision))
     if b is not None:
         y = y + b
     return y
@@ -809,6 +826,14 @@ def _s2d(x):
 
 
 s2d2 = _s2d  # public alias (packed VGG block 1, tests)
+
+
+def d2s2(x2):
+    """Depth-to-space by 2 — exact inverse of ``s2d2`` (phase-major)."""
+    n, h2, w2, c4 = x2.shape
+    c = c4 // 4
+    x = x2.reshape(n, h2, w2, 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h2, 2 * w2, c)
 
 
 def conv2d_s2d(x, w, b=None, *, stride=1, precision=None):

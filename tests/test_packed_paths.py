@@ -108,6 +108,9 @@ def test_packed_stem_matches_literal(default_precision):
         name="t", checkpoints_dir="/tmp/t_pack", label_nc=8, ngf=16, ndf=16,
         n_downsample_global=2, n_blocks_global=1, num_D=1, n_layers_D=2,
         batchSize=2, use_masked_image=True, no_vgg_loss=True,
+        # create_model resolves precision from the config (round 4) and
+        # would reset the fixture's perf tier to HIGHEST for an fp32 opt
+        conv_precision="default",
     )
     model = create_model(opt)
     rng = np.random.RandomState(2)
@@ -161,6 +164,7 @@ def test_local_enhancer_packed_stems_match_literal(default_precision):
         ngf=8, ndf=8, n_downsample_global=2, n_blocks_global=1,
         n_blocks_local=1, num_D=1, n_layers_D=2, batchSize=2,
         use_masked_image=True, no_vgg_loss=True,
+        conv_precision="default",  # see test_packed_stem_matches_literal
     )
     model = create_model(opt)
     rng = np.random.RandomState(4)
@@ -190,3 +194,40 @@ def test_local_enhancer_packed_stems_match_literal(default_precision):
             np.asarray(leaf), np.asarray(flat_l[path]), atol=2e-3,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_convt_packed_out_matches_adjoint(default_precision):
+    """conv_transpose2d_packed_out: d2s2(packed) == the literal adjoint
+    convT (k3 s2 p1 op1), forward and gradient."""
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 6, 10, 8), jnp.float32)
+    w = jnp.asarray(rng.randn(3, 3, 8, 4) * 0.1, jnp.float32)
+    b = jnp.asarray(rng.randn(4), jnp.float32)
+    hp = jax.lax.Precision.HIGHEST
+    ref = nnops.conv_transpose2d(x, w, b, precision=hp)
+    got = nnops.d2s2(nnops.conv_transpose2d_packed_out(x, w, b, precision=hp))
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got), atol=2e-5)
+
+    def loss(impl):
+        return jax.grad(
+            lambda x, w, b: jnp.sum(jnp.sin(impl(x, w, b))), argnums=(0, 1, 2)
+        )
+
+    gr = loss(lambda x, w, b: nnops.conv_transpose2d(x, w, b, precision=hp))(x, w, b)
+    gp = loss(
+        lambda x, w, b: nnops.d2s2(
+            nnops.conv_transpose2d_packed_out(x, w, b, precision=hp)
+        )
+    )(x, w, b)
+    for a, c in zip(gr, gp):
+        # bias grad reduces over the full output in a different order:
+        # rtol-level fp noise on O(1e2) sums
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(c), atol=5e-5, rtol=1e-6
+        )
+
+    # s2d2/d2s2 are exact inverses (phase-major)
+    z = jnp.asarray(rng.randn(2, 8, 12, 6), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(nnops.d2s2(nnops.s2d2(z))), np.asarray(z))
