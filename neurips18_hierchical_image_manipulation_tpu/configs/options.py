@@ -87,9 +87,11 @@ class BaseOptions:
     # normalize INTO the donated train step — ONE jitted dispatch per
     # iteration, zero per-step H2D; sampling becomes a pure function of
     # (seed, state.step) so mid-epoch resume continues the stream exactly
-    # (train/steps.make_resident_train_step). Off switch kept for A/B
-    # against the standalone-sampler path (single-device only; the mesh
-    # and pool paths ignore it)
+    # (train/steps.make_resident_train_step). Applies on single-device
+    # AND mesh runs (the DP form gathers each device's shard inside
+    # shard_map — make_resident_dp_train_step); pool_size>0 ignores it
+    # (the pool path is host-synchronous). Off switch kept for A/B
+    # against the standalone-sampler path.
     fused_resident_step: bool = True
 
     # display

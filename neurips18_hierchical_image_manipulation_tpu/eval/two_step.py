@@ -17,7 +17,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops import boxcomposite
+from ..ops import boxcomposite, nnops
+
+
+def _stage_scope(model):
+    """Re-pin the process-global precision tier (and IN-custom-VJP gate)
+    to the tier THIS stage's model was created under, for the duration of
+    its op construction. The two stages may be trained under different
+    tiers (e.g. fp32-parity b2m + bf16-perf m2i); without per-stage
+    scoping, whichever create_model ran last re-tiers the other stage's
+    trace (found by round-4 review)."""
+    return nnops.precision_scope(
+        getattr(model, "conv_precision_resolved", None),
+        getattr(model, "in_custom_vjp_resolved", None),
+    )
 
 
 class TwoStepPipeline:
@@ -82,9 +95,10 @@ class TwoStepPipeline:
             "boxmask": boxmask,
             "cls": cls_for_g,
         }
-        merged_probs, obj_mask, ctx_probs = self.b2m.inference(
-            b2m_params, b2m_batch, return_ctx=True
-        )
+        with _stage_scope(self.b2m):
+            merged_probs, obj_mask, ctx_probs = self.b2m.inference(
+                b2m_params, b2m_batch, return_ctx=True
+            )
         # remove-mode fill comes from the CONTEXT stream directly: merged
         # = ctx*(1-m) under the null class, which is the all-zeros vector
         # wherever sigmoid(mask_logit) saturates to exactly 1.0 — argmax
@@ -151,7 +165,8 @@ class TwoStepPipeline:
             "image": rgb_win,
             "boxes": box_m2i,
         }
-        fake_win = self.m2i.inference(m2i_params, m2i_batch)
+        with _stage_scope(self.m2i):
+            fake_win = self.m2i.inference(m2i_params, m2i_batch)
 
         # 6. paste the rendered BOX REGION back into the photo
         pasted = boxcomposite.paste_resize(image, fake_win, windows, method="bilinear")

@@ -37,9 +37,19 @@ def create_model(opt):
     if opt.model == "pix2pixHD":
         from .pix2pixhd import Pix2PixHDModel
 
-        return Pix2PixHDModel(opt)
-    if opt.model == "box2mask":
+        model = Pix2PixHDModel(opt)
+    elif opt.model == "box2mask":
         from .box2mask import BoxToMaskModel
 
-        return BoxToMaskModel(opt)
-    raise ValueError(f"unknown model: {opt.model}")
+        model = BoxToMaskModel(opt)
+    else:
+        raise ValueError(f"unknown model: {opt.model}")
+    # Record THIS model's resolved tier on the instance: the globals above
+    # are process-wide, so a program composing two models created under
+    # different tiers (two-step demo: fp32-parity b2m + bf16-perf m2i)
+    # re-pins them per stage via nnops.precision_scope — without this,
+    # whichever create_model ran last would silently re-tier the other
+    # stage's trace.
+    model.conv_precision_resolved = prec
+    model.in_custom_vjp_resolved = nnops.get_in_custom_vjp()
+    return model

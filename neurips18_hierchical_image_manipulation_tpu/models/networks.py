@@ -258,6 +258,10 @@ def _resblock_cls(remat: bool, remat_policy: str = "none"):
     remat=True with the default policy keeps the r2 behavior (plain
     jax.checkpoint = save block I/O only); 'conv_out' saves the tagged
     conv outputs so backward recomputes only elementwise chains."""
+    if remat_policy not in ("none", "block", "conv_out"):
+        # validate BEFORE the remat early-return: a typo'd policy with
+        # remat=True would otherwise silently measure block remat
+        raise ValueError(f"unknown remat_policy {remat_policy!r}")
     if remat_policy == "conv_out":
         return nn.remat(
             ResnetBlock,
@@ -266,8 +270,6 @@ def _resblock_cls(remat: bool, remat_policy: str = "none"):
         )
     if remat or remat_policy == "block":
         return nn.remat(ResnetBlock, static_argnums=(2,))
-    if remat_policy not in ("none", "block", "conv_out"):
-        raise ValueError(f"unknown remat_policy {remat_policy!r}")
     return ResnetBlock
 
 

@@ -117,10 +117,12 @@ class Pix2PixHDModel:
             # fp32), so under --uint8_transfer it can be the ONLY float
             # leaf and would fp32-poison the conv stack against bf16
             # params (crashed bench_loop's fused u8 legs, 2026-08-19)
+            from ..train.steps import _COORD_KEYS
+
             dt = None
             for k, v in batch.items():
                 if (
-                    k != "boxes"
+                    k not in _COORD_KEYS
                     and hasattr(v, "dtype")
                     and jnp.issubdtype(v.dtype, jnp.floating)
                 ):

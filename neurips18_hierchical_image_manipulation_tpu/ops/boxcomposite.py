@@ -69,7 +69,12 @@ def _pil_resample_weights(start, size, out_size, full):
     j = jnp.arange(full, dtype=jnp.float32)[None, :]
     w = _pil_cubic((j + 0.5 - centers[:, None]) / fscale)
     w = jnp.where((j >= start) & (j < start + size), w, 0.0)
-    return w / jnp.sum(w, axis=1, keepdims=True)
+    # degenerate/out-of-range windows (size 0, or fully outside [0,full))
+    # zero every tap; guard the normalize so they produce zeros — finite,
+    # like the bilinear path's clamped gather — instead of NaN rows that
+    # surface as an unattributable NaN loss steps later
+    denom = jnp.sum(w, axis=1, keepdims=True)
+    return jnp.where(denom > 0.0, w / jnp.where(denom > 0.0, denom, 1.0), 0.0)
 
 
 def _crop_resize_pil_one(img, box, out_hw):

@@ -55,6 +55,35 @@ def get_default_precision():
     return _PRECISION
 
 
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def precision_scope(precision=None, in_custom_vjp=None):
+    """Temporarily pin the precision tier (and the IN-custom-VJP gate)
+    around an op-construction section, restoring the caller's state after.
+
+    Both gates are process globals read at TRACE time, so a program that
+    composes two models trained under DIFFERENT tiers (the two-step
+    pipeline: a parity-fp32 box2mask stage feeding a bf16-perf mask2image
+    stage) must scope each stage's ops — otherwise whichever
+    create_model ran last silently re-tiers the other stage's trace.
+    ``None`` leaves the corresponding gate untouched.
+    """
+    global _IN_CUSTOM_VJP
+    prev_p = _PRECISION
+    prev_v = _IN_CUSTOM_VJP
+    try:
+        if precision is not None:
+            set_default_precision(precision)
+        if in_custom_vjp is not None and _IN_CUSTOM_VJP_ENV is None:
+            _IN_CUSTOM_VJP = bool(in_custom_vjp)
+        yield
+    finally:
+        set_default_precision(prev_p)
+        _IN_CUSTOM_VJP = prev_v
+
+
 def _lane_pad_targets(ci: int, co: int):
     """Channel-padding policy for the bf16 perf path (v5e profiling,
     2026-08-16): XLA picks pathological batch-minor layouts for low/odd
@@ -1116,6 +1145,12 @@ def set_in_custom_vjp(on: bool) -> None:
     global _IN_CUSTOM_VJP
     if _IN_CUSTOM_VJP_ENV is None:
         _IN_CUSTOM_VJP = bool(on)
+
+
+def get_in_custom_vjp() -> bool:
+    """Current IN-custom-VJP gate (for save/restore and per-model
+    re-pinning via precision_scope)."""
+    return _IN_CUSTOM_VJP
 
 
 def instance_norm_act(x, act, *, eps=1e-5):

@@ -139,3 +139,29 @@ def test_pil_bicubic_crop_resize_matches_pil():
             f"window {(y0, x0, bh, bw)}->{out}: mean {d.mean():.3f} "
             f"max {d.max():.3f}"
         )
+
+
+def test_pil_bicubic_degenerate_window_finite():
+    """Size-0 or fully out-of-range windows zero every clipped tap; the
+    row-normalize must emit zeros (finite, like the bilinear path's
+    clamped gather), not NaNs that surface as an unattributable NaN loss
+    steps later (round-4 review finding)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neurips18_hierchical_image_manipulation_tpu.ops import boxcomposite
+
+    img = jnp.asarray(
+        (np.random.RandomState(0).rand(2, 24, 32, 3) * 255).astype(np.uint8)
+    )
+    boxes = jnp.asarray(
+        [
+            [4.0, 4.0, 0.0, 0.0],       # size-0 window
+            [100.0, 200.0, 8.0, 8.0],   # fully outside the image
+        ],
+        jnp.float32,
+    )
+    out = boxcomposite.crop_resize(img, boxes, (8, 8), method="pil_bicubic")
+    out = np.asarray(out)
+    assert np.isfinite(out).all()
+    np.testing.assert_array_equal(out, 0.0)

@@ -206,3 +206,76 @@ def test_swap_consumes_edited_inst(pipeline, rng):
     )
     # outside: untouched real ids
     np.testing.assert_array_equal(ei[:10], np.asarray(inst)[0, :10])
+
+
+def test_mixed_tier_stage_scoping(rng):
+    """A pipeline composing an fp32-parity b2m with a bf16-perf m2i must
+    trace EACH stage under its own precision tier: the tier is a process
+    global set by create_model, so without per-stage re-pinning
+    (eval/two_step._stage_scope) whichever stage was created last would
+    silently re-tier the other stage's ops (round-4 review finding)."""
+    from jax import lax
+
+    from neurips18_hierchical_image_manipulation_tpu.data.synthetic import (
+        synthetic_box2mask_batch,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.ops import nnops
+
+    label_nc = 8
+    prev_prec = nnops.get_default_precision()
+    prev_vjp = nnops.get_in_custom_vjp()
+    try:
+        b2m_opt = BoxToMaskTestOptions(
+            name="b2m_fp32", checkpoints_dir="/tmp/himan_ts", label_nc=label_nc,
+            ngf=8, n_downsample_global=2, n_blocks_global=1, fineSize=32,
+            dtype="float32",
+        )
+        m2i_opt = MaskToImageTestOptions(
+            name="m2i_bf16", checkpoints_dir="/tmp/himan_ts", label_nc=label_nc,
+            ngf=8, n_downsample_global=2, n_blocks_global=1, fineSize=32,
+            use_masked_image=True, dtype="bfloat16",
+        )
+        b2m = create_model(b2m_opt)   # resolves 'highest'
+        m2i = create_model(m2i_opt)   # resolves 'default' — and is LAST,
+        # so the ambient global is now the WRONG tier for b2m
+        assert b2m.conv_precision_resolved == "highest"
+        assert m2i.conv_precision_resolved == "default"
+        assert nnops.get_default_precision() == lax.Precision.DEFAULT
+
+        seen = {}
+        orig_b2m, orig_m2i = b2m.inference, m2i.inference
+
+        def spy_b2m(*a, **k):
+            seen["b2m"] = nnops.get_default_precision()
+            return orig_b2m(*a, **k)
+
+        def spy_m2i(*a, **k):
+            seen["m2i"] = nnops.get_default_precision()
+            return orig_m2i(*a, **k)
+
+        b2m.inference = spy_b2m
+        m2i.inference = spy_m2i
+
+        rs = np.random.RandomState(0)
+        bb = synthetic_box2mask_batch(rs, 1, size=32, label_nc=label_nc)
+        bb = {k: jnp.asarray(v) for k, v in bb.items()}
+        b2m_params = b2m.init_params(jax.random.PRNGKey(0), bb)
+        mb = synthetic_batch(rs, 1, hw=(32, 32), label_nc=label_nc)
+        mb = {k: jnp.asarray(v) for k, v in mb.items()}
+        m2i_params = m2i.init_params(jax.random.PRNGKey(1), mb)
+
+        pipe = TwoStepPipeline(b2m, b2m_params, m2i, m2i_params)
+        image, label, inst = make_scene(rng)
+        boxes = jnp.asarray([[20.0, 30.0, 24.0, 24.0]])
+        cls = jnp.asarray([6], jnp.int32)
+        out = pipe.add_object(image, label, inst, boxes, cls)
+        assert out["edited_image"].shape == image.shape
+
+        # each stage traced under ITS OWN tier, not the ambient global
+        assert seen["b2m"] == lax.Precision.HIGHEST
+        assert seen["m2i"] == lax.Precision.DEFAULT
+        # and the scopes restored the ambient state afterwards
+        assert nnops.get_default_precision() == lax.Precision.DEFAULT
+    finally:
+        nnops.set_default_precision(prev_prec)
+        nnops.set_in_custom_vjp(prev_vjp)

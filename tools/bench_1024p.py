@@ -28,11 +28,20 @@ def main():
 
     import jax
 
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    # shared cache policy (options._setup_jax_compile_cache honors
+    # $HIMAN_JAX_CACHE_DIR); default to the repo checkout's cache so the
+    # tool shares bench.py's entries regardless of CWD
+    os.environ.setdefault(
+        "HIMAN_JAX_CACHE_DIR",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"
+        ),
     )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    from neurips18_hierchical_image_manipulation_tpu.configs.options import (
+        _setup_jax_compile_cache,
+    )
+
+    _setup_jax_compile_cache()
     import jax.numpy as jnp
     import optax
 

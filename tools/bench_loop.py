@@ -54,7 +54,22 @@ def make_dataroot(root, n_images, hw, label_nc=35, structured=False):
         Image.fromarray(img).save(f"{root}/train_img/{i:04d}.png")
 
 
+def _parse_out_path(argv):
+    """--out PATH / --out=PATH; validated up front so a malformed flag
+    fails before the minutes-long bench, not after it."""
+    out_path = None
+    for i, a in enumerate(argv):
+        if a == "--out":
+            if i + 1 >= len(argv):
+                raise SystemExit("--out requires a path argument")
+            out_path = argv[i + 1]
+        elif a.startswith("--out="):
+            out_path = a.split("=", 1)[1]
+    return out_path
+
+
 def main():
+    out_path = _parse_out_path(sys.argv)
     import jax
 
     jax.config.update(
@@ -211,16 +226,9 @@ def main():
         "unit": "images/sec/chip",
     }
     print(json.dumps(result))
-    if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
-        rows = []
-        if os.path.exists(out_path):
-            with open(out_path) as f:
-                rows = [json.loads(l) for l in f if l.strip()]
-        rows.append(result)
-        with open(out_path, "w") as f:
-            for r in rows:
-                f.write(json.dumps(r) + "\n")
+    if out_path:
+        with open(out_path, "a") as f:
+            f.write(json.dumps(result) + "\n")
 
 
 if __name__ == "__main__":

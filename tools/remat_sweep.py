@@ -26,7 +26,13 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 LEGS = [
+    # The factory's config-keyed gate resolves OFF for bench.py's
+    # netG='global' flagship, so the explicit on/off legs bracket it:
+    # 'baseline' == 'in_vjp_off' there, and 'in_vjp_on' is the leg that
+    # reproduces the 93.44-vs-93.04 native-vs-custom A/B cited in
+    # ops/nnops.py and ROOFLINE_step.json.
     ("baseline", {}),
+    ("in_vjp_on", {"HIMAN_IN_CUSTOM_VJP": "1"}),
     ("in_vjp_off", {"HIMAN_IN_CUSTOM_VJP": "0"}),
     ("remat_block", {"HIMAN_BENCH_REMAT_POLICY": "block"}),
     ("remat_conv_out", {"HIMAN_BENCH_REMAT_POLICY": "conv_out"}),
