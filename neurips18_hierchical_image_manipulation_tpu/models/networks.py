@@ -70,6 +70,12 @@ class Conv(nn.Module):
     # packed_s2d_in: packed input, natural unpacked stride-2 output (the
     # packed-region exit, down0) — nnops.conv2d_s2d_stride2_packed_in
     packed_s2d_in: bool = False
+    # reflect: ReflectionPad2d(reflect) is FUSED into the conv
+    # (nnops.conv2d_reflect: zero-SAME conv + tiny border-strip
+    # corrections — no materialized padded copy, no slice/rev/add VJP
+    # fold). Requires stride 1, kernel == 2*reflect+1, padding == 0.
+    # Identical math to reflect_pad + conv; param tree unchanged.
+    reflect: int = 0
 
     @nn.compact
     def __call__(self, x, x2=None):
@@ -98,11 +104,24 @@ class Conv(nn.Module):
         b = self.param("bias", zeros_init, (self.features,)) if self.use_bias else None
         if self.dead_bias:
             b = None
+        if self.reflect:
+            assert (
+                self.stride == 1
+                and self.padding == 0
+                and self.kernel == 2 * self.reflect + 1
+            )
+            conv = nnops.conv2d_reflect
+        else:
+            import functools as _ft
+
+            conv = _ft.partial(
+                nnops.conv2d, stride=self.stride, padding=self.padding
+            )
         if x2 is None:
-            return nnops.conv2d(x, w, b, stride=self.stride, padding=self.padding)
+            return conv(x, w, b)
         c1 = x.shape[-1]
-        y = nnops.conv2d(x, w[:, :, :c1], b, stride=self.stride, padding=self.padding)
-        y2 = nnops.conv2d(x2, w[:, :, c1:], None, stride=self.stride, padding=self.padding)
+        y = conv(x, w[:, :, :c1], b)
+        y2 = conv(x2, w[:, :, c1:], None)
         if x2.shape[0] != x.shape[0]:
             # batched-pair D apply: one side holds the conditioning ONCE
             # while the other stacks k inputs along batch (e.g.
@@ -229,8 +248,7 @@ class ResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         db = self.norm == "instance"
-        h = nnops.reflect_pad(x, 1)
-        h = Conv(self.dim, 3, name="conv1", dead_bias=db)(h)
+        h = Conv(self.dim, 3, name="conv1", dead_bias=db, reflect=1)(x)
         # checkpoint_name: inert identity outside jax.checkpoint; under
         # remat_policy='conv_out' these two tags are the save set (backward
         # recomputes only IN/ReLU/pad chains, never a conv)
@@ -238,8 +256,7 @@ class ResnetBlock(nn.Module):
         h = NormAct(self.norm, "relu", name="norm1")(h)
         if self.dropout:
             h = nn.Dropout(0.5, deterministic=not train)(h)
-        h = nnops.reflect_pad(h, 1)
-        h = Conv(self.dim, 3, name="conv2", dead_bias=db)(h)
+        h = Conv(self.dim, 3, name="conv2", dead_bias=db, reflect=1)(h)
         h = checkpoint_name(h, "res_conv_out")
         if self.norm == "instance":
             from ..ops.pallas import config as pallas_config
@@ -309,9 +326,7 @@ class GlobalGenerator(nn.Module):
             h = norm_act(h, self.norm)
             start = 1
         else:
-            h = nnops.reflect_pad(x, 3)
-            h2 = nnops.reflect_pad(x2, 3) if x2 is not None else None
-            h = Conv(self.ngf, 7, name="conv_in", dead_bias=db)(h, h2)
+            h = Conv(self.ngf, 7, name="conv_in", dead_bias=db, reflect=3)(x, x2)
             h = NormAct(self.norm, "relu", name="norm_in")(h)
         for i in range(start, self.n_downsampling):
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
@@ -328,8 +343,7 @@ class GlobalGenerator(nn.Module):
             mult = 2 ** (self.n_downsampling - i)
             h = ConvTranspose(self.ngf * mult // 2, name=f"up{i}", dead_bias=db)(h)
             h = NormAct(self.norm, "relu", name=f"norm_up{i}")(h)
-        h = nnops.reflect_pad(h, 3)
-        h = Conv(self.output_nc, 7, name="conv_out")(h)
+        h = Conv(self.output_nc, 7, name="conv_out", reflect=3)(h)
         return jnp.tanh(h)
 
 
@@ -364,9 +378,7 @@ class _GlobalBackbone(nn.Module):
             h = norm_act(h, self.norm)
             start = 1
         else:
-            h = nnops.reflect_pad(x, 3)
-            h2 = nnops.reflect_pad(x2, 3) if x2 is not None else None
-            h = Conv(self.ngf, 7, name="conv_in", dead_bias=db)(h, h2)
+            h = Conv(self.ngf, 7, name="conv_in", dead_bias=db, reflect=3)(x, x2)
             h = NormAct(self.norm, "relu", name="norm_in")(h)
         for i in range(start, self.n_downsampling):
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
@@ -457,9 +469,9 @@ class LocalEnhancer(nn.Module):
                 )(h)
                 h = norm_act(h, self.norm)
             else:
-                h = nnops.reflect_pad(inp, 3)
-                h2 = nnops.reflect_pad(inp2, 3) if inp2 is not None else None
-                h = Conv(ngf_n, 7, name=f"local{n}_conv_in", dead_bias=db)(h, h2)
+                h = Conv(
+                    ngf_n, 7, name=f"local{n}_conv_in", dead_bias=db, reflect=3
+                )(inp, inp2)
                 h = NormAct(self.norm, "relu", name=f"local{n}_norm_in")(h)
                 h = Conv(ngf_n * 2, 3, stride=2, padding=1, name=f"local{n}_down", dead_bias=db)(h)
                 h = NormAct(self.norm, "relu", name=f"local{n}_norm_down")(h)
@@ -484,8 +496,7 @@ class LocalEnhancer(nn.Module):
                 h = NormAct(self.norm, "relu", name=f"local{n}_norm_up")(h)
             out = h
 
-        out = nnops.reflect_pad(out, 3)
-        out = Conv(self.output_nc, 7, name="conv_out")(out)
+        out = Conv(self.output_nc, 7, name="conv_out", reflect=3)(out)
         return jnp.tanh(out)
 
 
@@ -590,8 +601,7 @@ class Encoder(nn.Module):
     @nn.compact
     def __call__(self, img, inst):
         db = self.norm == "instance"
-        h = nnops.reflect_pad(img, 3)
-        h = Conv(self.nef, 7, name="conv_in", dead_bias=db)(h)
+        h = Conv(self.nef, 7, name="conv_in", dead_bias=db, reflect=3)(img)
         h = NormAct(self.norm, "relu", name="norm_in")(h)
         for i in range(self.n_downsampling):
             h = Conv(self.nef * 2 ** (i + 1), 3, stride=2, padding=1, name=f"down{i}", dead_bias=db)(h)
@@ -600,8 +610,7 @@ class Encoder(nn.Module):
             mult = 2 ** (self.n_downsampling - i)
             h = ConvTranspose(self.nef * mult // 2, name=f"up{i}", dead_bias=db)(h)
             h = NormAct(self.norm, "relu", name=f"norm_up{i}")(h)
-        h = nnops.reflect_pad(h, 3)
-        h = Conv(self.feat_num, 7, name="conv_out")(h)
+        h = Conv(self.feat_num, 7, name="conv_out", reflect=3)(h)
         h = jnp.tanh(h)
         ids = inst.astype(jnp.int32)
         seg = (ids // 1000) * self.instance_slots + (ids % 1000) % self.instance_slots
@@ -714,8 +723,7 @@ class TwoStreamStructureGenerator(nn.Module):
         merged_probs)."""
         db = self.norm == "instance"
         x = jnp.concatenate([masked_layout, boxmask], axis=-1)
-        h = nnops.reflect_pad(x, 3)
-        h = Conv(self.ngf, 7, name="enc_in", dead_bias=db)(h)
+        h = Conv(self.ngf, 7, name="enc_in", dead_bias=db, reflect=3)(x)
         h = NormAct(self.norm, "relu", name="enc_norm_in")(h)
         skips = []
         for i in range(self.n_downsampling):
@@ -741,8 +749,7 @@ class TwoStreamStructureGenerator(nn.Module):
                 h = ConvTranspose(self.ngf * mult // 2, name=f"{tag}_up{i}", dead_bias=db)(h)
                 h = NormAct(self.norm, "relu", name=f"{tag}_norm_up{i}")(h)
                 h = h + skips[self.n_downsampling - 1 - i]  # U-Net skip (add)
-            h = nnops.reflect_pad(h, 3)
-            return Conv(out_nc, 7, name=f"{tag}_out")(h)
+            return Conv(out_nc, 7, name=f"{tag}_out", reflect=3)(h)
 
         layout_logits = decoder("ctx", self.label_nc, h)
         mask_logit = decoder("obj", 1, h)

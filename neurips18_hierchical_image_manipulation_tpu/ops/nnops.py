@@ -149,6 +149,92 @@ def conv2d(x, w, b=None, *, stride=1, padding=0, precision=None):
     return y
 
 
+def conv2d_reflect(x, w, b=None, *, precision=None):
+    """conv2d over a ReflectionPad2d((k-1)//2) input, stride 1 — exact
+    same math as ``conv2d(reflect_pad(x, p), w, b)`` WITHOUT materializing
+    the padded copy (reference: pix2pixHD's ReflectionPad2d+Conv2d pairs).
+
+    Reflect-pad is the LocalEnhancer's single biggest non-conv cost: the
+    1024x512 bs4 train step spends 43.1 ms/step on pad concats + their
+    slice/rev/add VJP folds (measured 2026-08-19: zero-pad bound 288.9 ms
+    vs 332.0 ms baseline, TRACE_1024p_r04b.txt 14.2 ms concatenate +
+    12.4 ms add_any forward-side alone). Construction:
+
+      y0   = conv2d(x, w, b, padding=p)      # zero pad — folded into the
+                                             # conv by XLA, no copy
+      y    = y0 + pad(top - y0[:, :p]) + pad(bottom - ...)
+                + pad(left - ...) + pad(right - ...)
+
+    where top/bottom/left/right are EXACT border outputs from tiny strip
+    convs over reassembled reflected rows/cols (top/bottom strips carry
+    the corner columns via horizontal reflection; left/right strips cover
+    interior rows only, so nothing is corrected twice). The corrections
+    are elementwise adds of zero-padded small tensors, so XLA fuses all
+    four into one pass over y0, and the VJP sends dy UNCHANGED into the
+    main conv's gradient (plus free slices for the strips) — no
+    border-masking select, no fold chain.
+
+    Interior outputs are the same dot products as the literal form;
+    border outputs reduce over the same taps in the same kernel order —
+    parity-tested against conv2d(reflect_pad(x, p), w) fwd+grad."""
+    k = w.shape[0]
+    p = (k - 1) // 2
+    prec = precision or _PRECISION
+    if (
+        x.ndim != 4
+        or w.shape[0] != w.shape[1]
+        or p < 1
+        or prec == lax.Precision.HIGHEST
+        or x.shape[1] < 3 * p
+        or x.shape[2] < 3 * p
+        or x.shape[1] < k
+        or x.shape[2] < k
+    ):
+        return conv2d(reflect_pad(x, p), w, b, precision=prec)
+    n, h, wd, ci = x.shape
+    co = w.shape[-1]
+
+    y0 = conv2d(x, w, b, padding=p, precision=prec)
+
+    def hreflect(s):
+        # columns -p..-1 are x[:, :, p..1]; columns wd..wd+p-1 are
+        # x[:, :, wd-2..wd-p-1] (torch ReflectionPad2d, no edge repeat)
+        left = jnp.flip(s[:, :, 1 : p + 1], 2)
+        right = jnp.flip(s[:, :, wd - p - 1 : wd - 1], 2)
+        return jnp.concatenate([left, s, right], 2)
+
+    # top strip: input rows -p..2p-1 (reflected head + first 2p rows),
+    # horizontally reflected -> VALID conv = exact out rows 0..p-1, all
+    # wd columns (corners included)
+    ts = jnp.concatenate([jnp.flip(x[:, 1 : p + 1], 1), x[:, : 2 * p]], 1)
+    top = conv2d(hreflect(ts), w, b, precision=prec)
+    # bottom strip: input rows h-2p..h-1 + reflected tail rows h-2..h-p-1
+    bs = jnp.concatenate(
+        [x[:, h - 2 * p :], jnp.flip(x[:, h - p - 1 : h - 1], 1)], 1
+    )
+    bot = conv2d(hreflect(bs), w, b, precision=prec)
+    # left/right strips: interior out rows p..h-p-1 only (corner rows are
+    # already exact from top/bottom), reflected head/tail columns
+    ls = jnp.concatenate([jnp.flip(x[:, :, 1 : p + 1], 2), x[:, :, : 2 * p]], 2)
+    left = conv2d(ls, w, b, precision=prec)
+    rs = jnp.concatenate(
+        [x[:, :, wd - 2 * p :], jnp.flip(x[:, :, wd - p - 1 : wd - 1], 2)], 2
+    )
+    right = conv2d(rs, w, b, precision=prec)
+
+    z = ((0, 0), (0, 0))
+    y = y0
+    y = y + jnp.pad(top - y0[:, :p], ((0, 0), (0, h - p), z[0], z[1]))
+    y = y + jnp.pad(bot - y0[:, h - p :], ((0, 0), (h - p, 0), z[0], z[1]))
+    y = y + jnp.pad(
+        left - y0[:, p : h - p, :p], ((0, 0), (p, p), (0, wd - p), (0, 0))
+    )
+    y = y + jnp.pad(
+        right - y0[:, p : h - p, wd - p :], ((0, 0), (p, p), (wd - p, 0), (0, 0))
+    )
+    return y
+
+
 # conv-transpose implementation selector for ConvT(k3,s2,p1,op1):
 #   "adjoint"  = lhs_dilated conv (torch-exact accumulation order; parity tier)
 #   "subpixel" = 4 phase convs + interleave
@@ -1174,10 +1260,21 @@ def batch_norm_inference(x, mean, var, gamma, beta, *, eps=1e-5):
     return (x - mean) * inv * gamma + beta
 
 
+_REFLECT_ZERO = _os.environ.get("HIMAN_REFLECT_ZERO") == "1"
+
+
 def reflect_pad(x, pad):
     """torch.nn.ReflectionPad2d(pad) on NHWC. On the perf tier the VJP is
     a fused Pallas fold (ops/pallas/reflect_pad.py) — identical math, one
-    read+write instead of XLA's slice/rev/add chain."""
+    read+write instead of XLA's slice/rev/add chain.
+
+    HIMAN_REFLECT_ZERO=1 is a PERF-DIAGNOSTIC ONLY knob: zero padding
+    instead of reflect (XLA folds a constant lax.pad into the consumer
+    conv, eliminating the materialized pad copy and its VJP fold) —
+    CHANGES MODEL SEMANTICS; used to bound what a fused reflect-conv
+    could save before building one."""
+    if _REFLECT_ZERO:
+        return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
     if _PRECISION != lax.Precision.HIGHEST and x.ndim == 4:
         from .pallas import config as _pc
 
