@@ -138,14 +138,23 @@ def main():
     state, metrics, _ = step(state, batch)
     _ = float(metrics["D_real"])
 
+    # Variance protocol (VERDICT r4 weak#1): the chip/pool state drifts
+    # between sessions by up to ~8%, so ONE timing window cannot be
+    # compared across sessions. Time >=3 disjoint windows, report the
+    # MEDIAN window as the headline and carry the min/max spread so every
+    # consumer sees the same-invocation band.
     iters = int(os.environ.get("HIMAN_BENCH_ITERS", "30"))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        state, metrics, _ = step(state, batch)
-    _ = float(metrics["D_real"])
-    dt = time.perf_counter() - t0
+    n_windows = max(1, int(os.environ.get("HIMAN_BENCH_WINDOWS", "3")))
+    window_rates = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            state, metrics, _ = step(state, batch)
+        _ = float(metrics["D_real"])  # hard sync closes the window
+        dt = time.perf_counter() - t0
+        window_rates.append(batch_size * iters / dt)
 
-    img_per_s = batch_size * iters / dt
+    img_per_s = float(np.median(window_rates))
     A100_TORCH_IMG_PER_S = 22.3  # measured-anchored, see module docstring
     TFLOP_PER_IMG = 1.179  # measured layer walk (TORCH_BASELINE.json)
     V5E_BF16_PEAK = 197.0
@@ -156,6 +165,11 @@ def main():
                 "value": round(img_per_s, 3),
                 "unit": "images/sec/chip",
                 "vs_baseline": round(img_per_s / A100_TORCH_IMG_PER_S, 3),
+                "value_basis": f"median of {n_windows} disjoint "
+                f"{iters}-iter windows (variance protocol, r5)",
+                "windows_img_per_s": [round(r, 3) for r in window_rates],
+                "spread_min": round(min(window_rates), 3),
+                "spread_max": round(max(window_rates), 3),
                 "achieved_tflops": round(img_per_s * TFLOP_PER_IMG, 1),
                 "mfu": round(img_per_s * TFLOP_PER_IMG / V5E_BF16_PEAK, 3),
                 "baseline_basis": "A100 est 22.3 img/s from measured 1.179"

@@ -130,6 +130,16 @@ class BaseOptions:
     # committed r3 dynamics run's 79.2 img/s vs bench 93.4 was mostly
     # this, not loader overhead).
     conv_precision: str = "auto"
+    # IN custom VJP (byte-diet backward for InstanceNorm+act) is keyed by
+    # CONFIG in models/factory.py: auto-ON for --netG local (the
+    # LocalEnhancer family is bandwidth-bound at full res — materialized
+    # fp32 IN converts dominate, custom backward measured +7.1% at
+    # 1024x512 bs4, reports/bench_1024p_r04.jsonl), auto-OFF otherwise
+    # (the MXU-bound global flagship measured -0.4%: XLA auto-remat
+    # already keeps those bytes virtual, remat_sweep_r04.jsonl). The
+    # 'netG == local' key is a proxy for "bandwidth-bound" — a thin-
+    # channel global config would be misclassified; override per-run with
+    # HIMAN_IN_CUSTOM_VJP=0/1 (the env always wins).
     no_pallas: bool = False
     mesh_devices: int = 0  # 0 = use every local device
     seed: int = 0

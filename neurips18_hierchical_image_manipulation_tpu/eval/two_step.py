@@ -21,15 +21,18 @@ from ..ops import boxcomposite, nnops
 
 
 def _stage_scope(model):
-    """Re-pin the process-global precision tier (and IN-custom-VJP gate)
-    to the tier THIS stage's model was created under, for the duration of
-    its op construction. The two stages may be trained under different
-    tiers (e.g. fp32-parity b2m + bf16-perf m2i); without per-stage
-    scoping, whichever create_model ran last re-tiers the other stage's
-    trace (found by round-4 review)."""
+    """Re-pin the process-global precision tier (plus the IN-custom-VJP
+    and Pallas-tier gates) to the tier THIS stage's model was created
+    under, for the duration of its op construction. The two stages may be
+    trained under different tiers (e.g. fp32-parity b2m + bf16-perf m2i,
+    or --no_pallas on one side); without per-stage scoping, whichever
+    create_model ran last re-tiers the other stage's trace (found by
+    round-4 review; pallas gate added round 5)."""
     return nnops.precision_scope(
         getattr(model, "conv_precision_resolved", None),
         getattr(model, "in_custom_vjp_resolved", None),
+        getattr(model, "pallas_enabled_resolved", None),
+        getattr(model, "conv_reflect_fused_resolved", None),
     )
 
 

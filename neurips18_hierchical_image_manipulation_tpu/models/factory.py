@@ -34,6 +34,14 @@ def create_model(opt):
     # (XLA auto-remat already keeps those bytes virtual). Explicit
     # HIMAN_IN_CUSTOM_VJP=0/1 overrides.
     nnops.set_in_custom_vjp(getattr(opt, "netG", "") == "local")
+    # Fused reflect-pad conv (nnops.conv2d_reflect strip form), same
+    # bandwidth-vs-MXU config keying. Measured END-TO-END (v5e, same
+    # session, r5): flagship bs32 512x256 fused 86.93 vs literal 93.46
+    # img/s — the fused form was the r4 93.5->86.9 headline regression
+    # (landed in the end-of-round snapshot unbenchmarked). 1024p
+    # LocalEnhancer A/B: see reports/bench_1024p_r05.jsonl.
+    # HIMAN_CONV_REFLECT_FUSED=0/1 overrides.
+    nnops.set_conv_reflect_fused(getattr(opt, "netG", "") == "local")
     if opt.model == "pix2pixHD":
         from .pix2pixhd import Pix2PixHDModel
 
@@ -52,4 +60,6 @@ def create_model(opt):
     # stage's trace.
     model.conv_precision_resolved = prec
     model.in_custom_vjp_resolved = nnops.get_in_custom_vjp()
+    model.pallas_enabled_resolved = not getattr(opt, "no_pallas", False)
+    model.conv_reflect_fused_resolved = nnops.get_conv_reflect_fused()
     return model

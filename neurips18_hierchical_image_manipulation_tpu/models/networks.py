@@ -105,11 +105,19 @@ class Conv(nn.Module):
         if self.dead_bias:
             b = None
         if self.reflect:
-            assert (
-                self.stride == 1
-                and self.padding == 0
-                and self.kernel == 2 * self.reflect + 1
-            )
+            # hard error, not assert: conv2d_reflect silently ignores
+            # stride/padding, so a violating config would produce wrong
+            # outputs (and `python -O` strips asserts)
+            if (
+                self.stride != 1
+                or self.padding != 0
+                or self.kernel != 2 * self.reflect + 1
+            ):
+                raise ValueError(
+                    "Conv(reflect=%d) requires stride==1, padding==0, "
+                    "kernel==2*reflect+1; got stride=%d padding=%d kernel=%d"
+                    % (self.reflect, self.stride, self.padding, self.kernel)
+                )
             conv = nnops.conv2d_reflect
         else:
             import functools as _ft

@@ -72,9 +72,13 @@ def _pil_resample_weights(start, size, out_size, full):
     # degenerate/out-of-range windows (size 0, or fully outside [0,full))
     # zero every tap; guard the normalize so they produce zeros — finite,
     # like the bilinear path's clamped gather — instead of NaN rows that
-    # surface as an unattributable NaN loss steps later
+    # surface as an unattributable NaN loss steps later. The guard keys on
+    # |denom| ~ 0, not denom > 0: a partially-clipped window can survive
+    # with only negative-lobe cubic taps (sum slightly negative) and PIL
+    # still normalizes that row rather than zeroing it.
     denom = jnp.sum(w, axis=1, keepdims=True)
-    return jnp.where(denom > 0.0, w / jnp.where(denom > 0.0, denom, 1.0), 0.0)
+    ok = jnp.abs(denom) > 1e-6
+    return jnp.where(ok, w / jnp.where(ok, denom, 1.0), 0.0)
 
 
 def _crop_resize_pil_one(img, box, out_hw):

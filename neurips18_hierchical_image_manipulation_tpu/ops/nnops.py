@@ -59,29 +59,42 @@ import contextlib as _contextlib
 
 
 @_contextlib.contextmanager
-def precision_scope(precision=None, in_custom_vjp=None):
-    """Temporarily pin the precision tier (and the IN-custom-VJP gate)
-    around an op-construction section, restoring the caller's state after.
+def precision_scope(precision=None, in_custom_vjp=None, pallas_enabled=None,
+                    conv_reflect_fused=None):
+    """Temporarily pin the precision tier (plus the IN-custom-VJP and
+    Pallas-tier gates) around an op-construction section, restoring the
+    caller's state after.
 
-    Both gates are process globals read at TRACE time, so a program that
-    composes two models trained under DIFFERENT tiers (the two-step
+    All three gates are process globals read at TRACE time, so a program
+    that composes two models trained under DIFFERENT tiers (the two-step
     pipeline: a parity-fp32 box2mask stage feeding a bf16-perf mask2image
-    stage) must scope each stage's ops — otherwise whichever
-    create_model ran last silently re-tiers the other stage's trace.
-    ``None`` leaves the corresponding gate untouched.
+    stage, or a --no_pallas stage next to a pallas-enabled one) must scope
+    each stage's ops — otherwise whichever create_model ran last silently
+    re-tiers the other stage's trace. ``None`` leaves the corresponding
+    gate untouched.
     """
-    global _IN_CUSTOM_VJP
+    from .pallas import config as pallas_config
+
+    global _IN_CUSTOM_VJP, _CONV_REFLECT_FUSED
     prev_p = _PRECISION
     prev_v = _IN_CUSTOM_VJP
+    prev_k = pallas_config._ENABLED
+    prev_r = _CONV_REFLECT_FUSED
     try:
         if precision is not None:
             set_default_precision(precision)
         if in_custom_vjp is not None and _IN_CUSTOM_VJP_ENV is None:
             _IN_CUSTOM_VJP = bool(in_custom_vjp)
+        if pallas_enabled is not None:
+            pallas_config.set_enabled(pallas_enabled)
+        if conv_reflect_fused is not None and _CONV_REFLECT_FUSED_ENV is None:
+            _CONV_REFLECT_FUSED = bool(conv_reflect_fused)
         yield
     finally:
         set_default_precision(prev_p)
         _IN_CUSTOM_VJP = prev_v
+        pallas_config.set_enabled(prev_k)
+        _CONV_REFLECT_FUSED = prev_r
 
 
 def _lane_pad_targets(ci: int, co: int):
@@ -176,12 +189,21 @@ def conv2d_reflect(x, w, b=None, *, precision=None):
 
     Interior outputs are the same dot products as the literal form;
     border outputs reduce over the same taps in the same kernel order —
-    parity-tested against conv2d(reflect_pad(x, p), w) fwd+grad."""
+    parity-tested against conv2d(reflect_pad(x, p), w) fwd+grad at the
+    perf tier (tests/test_conv_reflect.py: p=1/2/3, minimal shapes,
+    bias/no-bias).
+
+    CONFIG-KEYED via set_conv_reflect_fused (models/factory.py): the
+    fused form landed in the r4 snapshot unbenchmarked and cost the
+    MXU-bound flagship -7.0% end-to-end (93.46 -> 86.93 img/s, measured
+    same-session r5) — it defaults OFF and is enabled only where
+    measured to win (see the factory keying comment)."""
     k = w.shape[0]
     p = (k - 1) // 2
     prec = precision or _PRECISION
     if (
-        x.ndim != 4
+        not _CONV_REFLECT_FUSED
+        or x.ndim != 4
         or w.shape[0] != w.shape[1]
         or p < 1
         or prec == lax.Precision.HIGHEST
@@ -1224,6 +1246,9 @@ import os as _os
 _IN_CUSTOM_VJP_ENV = _os.environ.get("HIMAN_IN_CUSTOM_VJP")
 _IN_CUSTOM_VJP = _IN_CUSTOM_VJP_ENV == "1"
 
+_CONV_REFLECT_FUSED_ENV = _os.environ.get("HIMAN_CONV_REFLECT_FUSED")
+_CONV_REFLECT_FUSED = _CONV_REFLECT_FUSED_ENV == "1"
+
 
 def set_in_custom_vjp(on: bool) -> None:
     """Config-keyed auto gate (models/factory.py). No-op when the user
@@ -1237,6 +1262,32 @@ def get_in_custom_vjp() -> bool:
     """Current IN-custom-VJP gate (for save/restore and per-model
     re-pinning via precision_scope)."""
     return _IN_CUSTOM_VJP
+
+
+# Fused reflect-pad conv (conv2d_reflect's strip-correction form),
+# CONFIG-KEYED — the root cause of the round-4 93.5 -> 86.9 headline
+# regression: the fused form landed in the r4 end-of-round snapshot
+# WITHOUT an end-to-end measurement and engaged on every perf-tier
+# generator. Measured END-TO-END this round (v5e, same session,
+# reports/bench_variance_r05.jsonl): flagship bs32 512x256 fused 86.93
+# vs literal 93.46 img/s (-7.0% — the flagship is MXU-bound and XLA
+# already folds the materialized reflect copy into the conv while the
+# strip form adds 4 tiny poorly-shaped convs + a 5-way add per site);
+# 1024p LocalEnhancer measured separately (see factory keying / the
+# bench_1024p_r05 artifact). HIMAN_CONV_REFLECT_FUSED=0/1 wins over the
+# config auto-key (resolved above next to the IN gate).
+
+
+def set_conv_reflect_fused(on: bool) -> None:
+    """Config-keyed auto gate (models/factory.py). No-op when the user
+    set HIMAN_CONV_REFLECT_FUSED explicitly."""
+    global _CONV_REFLECT_FUSED
+    if _CONV_REFLECT_FUSED_ENV is None:
+        _CONV_REFLECT_FUSED = bool(on)
+
+
+def get_conv_reflect_fused() -> bool:
+    return _CONV_REFLECT_FUSED
 
 
 def instance_norm_act(x, act, *, eps=1e-5):

@@ -279,3 +279,42 @@ def test_mixed_tier_stage_scoping(rng):
     finally:
         nnops.set_default_precision(prev_prec)
         nnops.set_in_custom_vjp(prev_vjp)
+
+
+def test_stage_scope_pins_pallas_gate():
+    """_stage_scope must also re-pin the Pallas-tier gate (third process
+    global set by create_model): composing a --no_pallas model with a
+    pallas-enabled one would otherwise trace both stages under whichever
+    create_model ran last (advisor r4 low)."""
+    from neurips18_hierchical_image_manipulation_tpu.eval.two_step import (
+        _stage_scope,
+    )
+    from neurips18_hierchical_image_manipulation_tpu.ops.pallas import (
+        config as pallas_config,
+    )
+
+    b2m_opt = BoxToMaskTestOptions(
+        name="b2m_np", checkpoints_dir="/tmp/himan_ts", label_nc=8,
+        ngf=8, n_downsample_global=2, n_blocks_global=1, fineSize=32,
+        no_pallas=True,
+    )
+    m2i_opt = MaskToImageTestOptions(
+        name="m2i_p", checkpoints_dir="/tmp/himan_ts", label_nc=8,
+        ngf=8, n_downsample_global=2, n_blocks_global=1, fineSize=32,
+        use_masked_image=True,
+    )
+    prev = pallas_config._ENABLED
+    try:
+        b2m = create_model(b2m_opt)      # resolves pallas OFF
+        m2i = create_model(m2i_opt)      # resolves pallas ON, runs LAST
+        assert b2m.pallas_enabled_resolved is False
+        assert m2i.pallas_enabled_resolved is True
+        assert pallas_config._ENABLED is True  # ambient = last created
+
+        with _stage_scope(b2m):
+            assert pallas_config._ENABLED is False
+        assert pallas_config._ENABLED is True
+        with _stage_scope(m2i):
+            assert pallas_config._ENABLED is True
+    finally:
+        pallas_config.set_enabled(prev)

@@ -99,6 +99,7 @@ def main():
                 "HIMAN_IN_CUSTOM_VJP",
                 "HIMAN_BENCH_REMAT_POLICY",
                 "HIMAN_STEM_PACK",
+                "HIMAN_CONV_REFLECT_FUSED",
             )
             if k in os.environ
         },

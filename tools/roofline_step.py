@@ -219,6 +219,83 @@ def bench(specs_path, out_json, trace_dir, measured_step_ms):
             ests.append(((t2 - t1) - (t1 - t0)) / k)
         return max(float(np.median(ests)), 1e-7)
 
+    # --- per-spec implicit-GEMM ceiling (VERDICT r4 next#2a): the bare
+    # MXU matmul at the conv's GEMM shape (M = N*prod(out_spatial),
+    # K = avg_real_taps * Cin/fgc, N' = Cout) is the speed-of-light for
+    # ANY same-FLOPs reformulation of that conv (it ignores im2col read
+    # amplification — a true upper bound). M is capped so the proxy lhs
+    # stays <= ~512 MB (rate saturates long before that); K uses the
+    # true-MAC average taps so lhs-dilated (transposed/dgrad) convs get
+    # their honest, lower ceiling. ---
+    gemm_cache = {}
+
+    def gemm_ceiling_tflops(rec):
+        lhs, rhs = rec["lhs_shape"], rec["rhs_shape"]
+        dn = rec["dimension_numbers"]
+        ln, lc = dn[0][0], dn[0][1]
+        lspatial = dn[0][2:]
+        rk_out = dn[1][0]
+        rspatial = dn[1][2:]
+        n = lhs[ln]
+        cin = lhs[lc] // rec["feature_group_count"]
+        cout = rhs[rk_out]
+        out_elems = 1
+        taps = 1.0
+        for i, d in enumerate(lspatial):
+            ld = rec["lhs_dilation"][i]
+            rd = rec["rhs_dilation"][i]
+            kk = rhs[rspatial[i]]
+            size = (lhs[d] - 1) * ld + 1
+            ksize = (kk - 1) * rd + 1
+            pad = rec["padding"][i]
+            stride = rec["window_strides"][i]
+            o = (size + pad[0] + pad[1] - ksize) // stride + 1
+            out_elems *= o
+            if ld == 1:
+                taps *= kk
+            else:
+                per_phase = [
+                    sum(
+                        1
+                        for j in range(kk)
+                        if ((y * stride - pad[0]) + j * rd) % ld == 0
+                    )
+                    for y in range(ld)
+                ]
+                full, rem = divmod(o, ld)
+                taps *= (full * sum(per_phase) + sum(per_phase[:rem])) / o
+        m_full = n * out_elems
+        kdim = max(int(round(taps * cin)), 1)
+        bpe = 2 if "bfloat16" in rec["lhs_dtype"] else 4
+        m = int(min(m_full, max(8192, (512 * 1024 * 1024) // max(kdim * bpe, 1))))
+        key = (m, kdim, cout, rec["lhs_dtype"], rec["rhs_dtype"])
+        if key in gemm_cache:
+            return gemm_cache[key]
+        a = jnp.asarray(rng.rand(m, kdim).astype(np.float32), rec["lhs_dtype"])
+        bm = jnp.asarray(rng.rand(kdim, cout).astype(np.float32), rec["rhs_dtype"])
+
+        def mmloop(args, length):
+            x, r = args
+
+            def body(c, _):
+                o = jnp.matmul(x, c, preferred_element_type=jnp.float32)
+                first = jnp.sum(o, dtype=jnp.float32).astype(c.dtype)
+                return c.at[(0,) * c.ndim].add(first * jnp.asarray(1e-7, c.dtype)), ()
+
+            return lax.scan(body, r, None, length=length)[0]
+
+        fl_mm = 2.0 * m * kdim * cout
+        est_ms = max(fl_mm / 150e12 * 1e3, 0.02)
+        kiter = int(min(max(100.0 / est_ms, 8), 1024))
+        try:
+            ms = timed_pair(mmloop, (a, bm), kiter) * 1e3
+            tf = fl_mm / (ms * 1e-3) / 1e12
+        except Exception as e:  # noqa: BLE001
+            print(f"gemm ceiling FAILED {key}: {e}")
+            tf = None
+        gemm_cache[key] = tf
+        return tf
+
     # --- stream bandwidth: triad z = 0.5x + y over 128 MB bf16, carry=z ---
     big = 64 * 1024 * 1024  # elements
     x0 = jnp.asarray(rng.rand(big), jnp.bfloat16)
@@ -286,11 +363,15 @@ def bench(specs_path, out_json, trace_dir, measured_step_ms):
         fl = _conv_flops(rec)
         total_ms += ms * rec["count"]
         total_flops += fl * rec["count"]
+        tf = fl / (ms * 1e-3) / 1e12
+        ceil_tf = gemm_ceiling_tflops(rec)
         rows.append({
             "lhs": rec["lhs_shape"], "rhs": rec["rhs_shape"],
             "strides": rec["window_strides"], "lhs_dil": rec["lhs_dilation"],
             "count": rec["count"], "ms": round(ms, 4),
-            "tflops": round(fl / (ms * 1e-3) / 1e12, 1),
+            "tflops": round(tf, 1),
+            "gemm_ceiling_tflops": round(ceil_tf, 1) if ceil_tf else None,
+            "pct_of_ceiling": round(100 * tf / ceil_tf, 1) if ceil_tf else None,
         })
         if i % 10 == 0:
             print(f"[{i}/{len(recs)}] cum {total_ms:.1f} ms")
@@ -298,6 +379,7 @@ def bench(specs_path, out_json, trace_dir, measured_step_ms):
     # --- non-conv bound from the committed trace ---
     nonconv_ms, nonconv_bytes, conv_graph_ms = trace_split(trace_dir)
     nonconv_bound = nonconv_bytes / (stream_gbs * 1e9) * 1e3
+    site_rows = fusion_sites(trace_dir)
 
     attainable = total_ms + nonconv_bound
     report = {
@@ -342,6 +424,17 @@ def bench(specs_path, out_json, trace_dir, measured_step_ms):
             "byte dieting at this batch/resolution."
         ),
         "convs": sorted(rows, key=lambda r: -r["ms"] * r["count"])[:40],
+        # the worst-offender view the r4 verdict asked for: EVERY spec,
+        # slowest achieved rate first, with its own implicit-GEMM ceiling
+        # — "below ~150 TF/s" is only a finding if the spec's ceiling is
+        # itself high (a 3-channel head conv's ceiling is shape-imposed)
+        "convs_by_tflops": sorted(
+            rows, key=lambda r: r["tflops"]
+        ),
+        # per-site in-graph conv attribution (fusion-tax breakdown): the
+        # sites whose in-graph TF/s sit far below the standalone table's
+        # rates are where the conv_fusion_tax_ms concentrates
+        "conv_sites_in_graph": site_rows,
     }
     with open(out_json, "w") as f:
         json.dump(report, f, indent=1)
@@ -378,6 +471,60 @@ def trace_split(outdir):
             other_bytes += int(a.get("bytes_accessed", 0) or 0)
     nsteps = max(nsteps + 1, 1)
     return other_us / 1e3 / nsteps, other_bytes / nsteps, conv_us / 1e3 / nsteps
+
+
+def fusion_sites(outdir, top=30):
+    """Per-site attribution of the in-graph conv time (VERDICT r4
+    next#2b: the fusion tax was one lump). Aggregates every conv-bearing
+    device event by its source file:line + op kind and reports ms/step,
+    achieved TFLOP/s (XLA's model_flops), and HBM GB/s — the laggard
+    sites (low TF/s at high ms) are where the standalone-vs-in-graph tax
+    concentrates."""
+    paths = sorted(glob.glob(f"{outdir}/**/*.trace.json.gz", recursive=True))
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    from collections import defaultdict
+
+    by_site = defaultdict(lambda: [0.0, 0, 0, 0])
+    nsteps = 0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        a = e.get("args")
+        if not a or "device_duration_ps" not in a:
+            continue
+        name = e.get("name", "")
+        if name in ("1", "2"):
+            nsteps += 1
+            continue
+        if name == "0" or name.startswith("jit_"):
+            continue
+        if "conv_general_dilated" not in a.get("tf_op", ""):
+            continue
+        dur = float(a["device_duration_ps"]) / 1e6
+        src = a.get("source", "?").replace(
+            "/root/repo/neurips18_hierchical_image_manipulation_tpu/", ""
+        )
+        kind = a.get("tf_op", "").rsplit("/", 1)[-1].rstrip(":")
+        s = by_site[f"{src} [{kind}]"]
+        s[0] += dur
+        s[1] += int(a.get("model_flops", 0) or 0)
+        s[2] += int(a.get("bytes_accessed", 0) or 0)
+        s[3] += 1
+    nsteps = max(nsteps + 1, 1)
+    rows = []
+    for key, (dur, fl, by, cnt) in sorted(
+        by_site.items(), key=lambda kv: -kv[1][0]
+    )[:top]:
+        rows.append({
+            "site": key,
+            "ms_per_step": round(dur / 1e3 / nsteps, 3),
+            "tflops": round(fl / (dur * 1e-6) / 1e12, 1) if dur else 0.0,
+            "gbs": round(by / (dur * 1e-6) / 1e9, 0) if dur else 0.0,
+            "n_per_step": cnt // nsteps,
+        })
+    return rows
 
 
 def main():

@@ -26,68 +26,108 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def make_world(root, n_images, hw=(256, 512), seed=0):
-    """Scenes where RGB is a (noisy) deterministic function of layout —
-    a GAN with enough capacity should drive recon/GAN losses down."""
-    from PIL import Image
+_BASE_COLORS = {
+    7: (96, 96, 96),     # road: gray
+    23: (120, 170, 230),  # sky: blue
+    21: (60, 130, 60),   # vegetation: green
+    26: (170, 40, 40),   # car: red-ish, varied per instance
+    11: (150, 120, 90),  # building: tan
+}
 
-    rng = np.random.RandomState(seed)
-    h, w = hw
-    base = {
-        7: (96, 96, 96),     # road: gray
-        23: (120, 170, 230),  # sky: blue
-        21: (60, 130, 60),   # vegetation: green
-        26: (170, 40, 40),   # car: red-ish, varied per instance
-        11: (150, 120, 90),  # building: tan
-    }
-    for sub in ("train_label", "train_inst", "train_img"):
-        os.makedirs(os.path.join(root, sub), exist_ok=True)
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+def _render_rgb(label, inst, illum, tex):
+    """RGB as a deterministic function of (layout, illum, texture)."""
+    h, w = label.shape
+    img = np.zeros((h, w, 3), np.float32)
+    for cls, c in _BASE_COLORS.items():
+        img[label == cls] = c
+    # instance-correlated hue shift for cars
+    for k in np.unique(inst[label == 26]):
+        m = inst == k
+        img[m] += ((int(k) % 7) - 3) * np.asarray([12.0, -6.0, 9.0])
+    return np.clip(img + illum + tex, 0, 255).astype(np.uint8)
+
+
+def synth_scene(rng, h, w, i, n_images, xx=None, paired_car=False):
+    """One procedural scene; rng call ORDER is the make_world contract
+    (committed dynamics artifacts replay it).
+
+    paired_car=True additionally returns the SAME scene rendered without
+    its last-drawn car (which nothing occludes) + that car's box — the
+    ground truth pair for the two-step edit metrics: `remove` at car_box
+    on the full scene must restore label_pre/img_pre; `add` of class 26
+    at car_box on the pre scene must reproduce label/img (eval/
+    two_step_metrics.py)."""
+    if xx is None:
+        xx = np.mgrid[0:h, 0:w][1].astype(np.float32)
     sy, sx = h / 256.0, w / 512.0  # object sizes scale with resolution
 
     def r(lo, hi, s):
         return int(rng.randint(max(int(lo * s), 2), max(int(hi * s), 3)))
 
+    label = np.full((h, w), 23, np.uint8)  # sky
+    horizon = h // 2 + int(rng.randint(-int(20 * sy) - 1, int(20 * sy) + 1))
+    label[horizon:] = 7  # road
+    # buildings: 2-3 blocks on the horizon
+    for _ in range(rng.randint(2, 4)):
+        bw_, bh_ = r(60, 140, sx), r(50, 110, sy)
+        x0 = int(rng.randint(0, w - bw_))
+        label[max(horizon - bh_, 0) : horizon, x0 : x0 + bw_] = 11
+    # vegetation strip
+    if rng.rand() < 0.7:
+        vw = r(30, 80, sx)
+        x0 = int(rng.randint(0, w - vw))
+        label[max(horizon - 40, 0) : horizon, x0 : x0 + vw] = 21
+    inst = label.astype(np.int32) * 1000
+    # cars on the road
+    label_pre = inst_pre = car_box = None
+    n_cars = rng.randint(1, 4)
+    for k in range(n_cars):
+        ch_, cw_ = r(28, 48, sy), r(48, 90, sx)
+        y0 = int(rng.randint(horizon, max(h - ch_, horizon + 1)))
+        x0 = int(rng.randint(0, w - cw_))
+        if paired_car and k == n_cars - 1:
+            label_pre = label.copy()
+            inst_pre = inst.copy()
+            car_box = (y0, x0, min(ch_, h - y0), min(cw_, w - x0))
+        label[y0 : y0 + ch_, x0 : x0 + cw_] = 26
+        inst[y0 : y0 + ch_, x0 : x0 + cw_] = 26000 + k
+    # smooth illumination + gentle texture (ONE tex draw; pair renders
+    # share it so pre/post differ only under the car)
+    illum = 24.0 * np.sin(2 * np.pi * (xx / w + i / n_images))[..., None]
+    tex = rng.randn(h, w, 1).astype(np.float32) * 4.0
+    scene = {
+        "label": label,
+        "inst": inst,
+        "img": _render_rgb(label, inst, illum, tex),
+    }
+    if paired_car:
+        scene.update(
+            label_pre=label_pre,
+            inst_pre=inst_pre,
+            img_pre=_render_rgb(label_pre, inst_pre, illum, tex),
+            car_box=car_box,
+        )
+    return scene
+
+
+def make_world(root, n_images, hw=(256, 512), seed=0):
+    """Scenes where RGB is a (noisy) deterministic function of layout —
+    a GAN with enough capacity should drive recon/GAN losses down."""
+    rng = np.random.RandomState(seed)
+    h, w = hw
+    for sub in ("train_label", "train_inst", "train_img"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+    xx = np.mgrid[0:h, 0:w][1].astype(np.float32)
+
     for i in range(n_images):
-        label = np.full((h, w), 23, np.uint8)  # sky
-        horizon = h // 2 + int(rng.randint(-int(20 * sy) - 1, int(20 * sy) + 1))
-        label[horizon:] = 7  # road
-        # buildings: 2-3 blocks on the horizon
-        for _ in range(rng.randint(2, 4)):
-            bw_, bh_ = r(60, 140, sx), r(50, 110, sy)
-            x0 = int(rng.randint(0, w - bw_))
-            label[max(horizon - bh_, 0) : horizon, x0 : x0 + bw_] = 11
-        # vegetation strip
-        if rng.rand() < 0.7:
-            vw = r(30, 80, sx)
-            x0 = int(rng.randint(0, w - vw))
-            label[max(horizon - 40, 0) : horizon, x0 : x0 + vw] = 21
-        inst = label.astype(np.int32) * 1000
-        # cars on the road
-        for k in range(rng.randint(1, 4)):
-            ch_, cw_ = r(28, 48, sy), r(48, 90, sx)
-            y0 = int(rng.randint(horizon, max(h - ch_, horizon + 1)))
-            x0 = int(rng.randint(0, w - cw_))
-            label[y0 : y0 + ch_, x0 : x0 + cw_] = 26
-            inst[y0 : y0 + ch_, x0 : x0 + cw_] = 26000 + k
-        # render RGB from layout
-        img = np.zeros((h, w, 3), np.float32)
-        for cls, c in base.items():
-            img[label == cls] = c
-        # instance-correlated hue shift for cars
-        for k in np.unique(inst[label == 26]):
-            m = inst == k
-            img[m] += ((int(k) % 7) - 3) * np.asarray([12.0, -6.0, 9.0])
-        # smooth illumination + gentle texture
-        illum = 24.0 * np.sin(2 * np.pi * (xx / w + i / n_images))[..., None]
-        tex = rng.randn(h, w, 1).astype(np.float32) * 4.0
-        img = np.clip(img + illum + tex, 0, 255).astype(np.uint8)
+        s = synth_scene(rng, h, w, i, n_images, xx=xx)
 
         from PIL import Image as I
 
-        I.fromarray(label).save(f"{root}/train_label/{i:04d}.png")
-        I.fromarray(inst, mode="I").save(f"{root}/train_inst/{i:04d}.png")
-        I.fromarray(img).save(f"{root}/train_img/{i:04d}.png")
+        I.fromarray(s["label"]).save(f"{root}/train_label/{i:04d}.png")
+        I.fromarray(s["inst"], mode="I").save(f"{root}/train_inst/{i:04d}.png")
+        I.fromarray(s["img"]).save(f"{root}/train_img/{i:04d}.png")
 
 
 def parse_loss_log(path):
@@ -117,9 +157,14 @@ def main():
                    help="only render reports from an existing run")
     p.add_argument("--smoke", action="store_true",
                    help="tiny arch/res for CI (CPU-feasible)")
+    p.add_argument("--extra", action="append", default=[],
+                   help="extra CLI flag(s) passed through to the train "
+                   "driver (repeatable) — e.g. --extra=--instance_feat "
+                   "for the Encoder-conditioned dynamics leg")
+    p.add_argument("--name", default="dynamics512")
     args = p.parse_args()
 
-    name = "dynamics512"
+    name = args.name
     if not args.skip_train:
         hw = (64, 128) if args.smoke else (256, 512)
         if not os.path.exists(os.path.join(args.dataroot, "train_label")):
@@ -153,6 +198,7 @@ def main():
             "--display_freq", str(10 * steps_per_epoch),
             "--save_epoch_freq", "1000000",
             "--save_latest_freq", "1000000",
+            *args.extra,
         ])
 
     # ---- render the report ----
