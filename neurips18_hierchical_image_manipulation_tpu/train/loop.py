@@ -269,6 +269,13 @@ def train(opt, model, loader, make_visuals: Optional[Callable] = None, mesh=None
             f" Time Taken: {time.time() - epoch_start:.0f} sec",
             flush=True,
         )
+    # Always leave a resumable `latest` at the end of training, whatever
+    # the periodic freqs were set to. Periodic saves pull the full state
+    # over PCIe/tunnel (~minutes/epoch for the flagship on axon), so
+    # short evidence runs crank save_latest_freq way up — this final save
+    # keeps the run's checkpoint contract (stage hand-off, --continue_train)
+    # intact at the cost of ONE pull.
+    ckpt.save("latest", state, opt.niter + opt.niter_decay + 1, 0)
     return state
 
 

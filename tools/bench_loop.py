@@ -90,26 +90,36 @@ def main():
     from neurips18_hierchical_image_manipulation_tpu.train.state import GANTrainState
 
     nnops.set_default_precision("default")
-    bs = int(os.environ.get("HIMAN_BENCH_BS", "32"))
+    leg_1024 = os.environ.get("HIMAN_1024", "0") == "1"
+    bbox_leg = os.environ.get("HIMAN_BBOX", "0") == "1" and not leg_1024
+    bs = int(os.environ.get("HIMAN_BENCH_BS", "4" if leg_1024 else "32"))
     nthreads = int(os.environ.get("HIMAN_BENCH_NTHREADS", "8"))
-    bbox_leg = os.environ.get("HIMAN_BBOX", "0") == "1"
     n_images = bs * 6
 
     root = os.path.join(
-        tempfile.gettempdir(), "himan_loop_bbox" if bbox_leg else "himan_loop_city"
+        tempfile.gettempdir(),
+        "himan_loop_1024" if leg_1024
+        else ("himan_loop_bbox" if bbox_leg else "himan_loop_city"),
     )
     if not os.path.exists(os.path.join(root, "train_label")):
-        make_dataroot(root, n_images, (256, 512), structured=bbox_leg)
+        make_dataroot(root, n_images, (512, 1024) if leg_1024 else (256, 512),
+                      structured=bbox_leg)
 
     opt = MaskToImageTrainOptions(
         name="benchloop", checkpoints_dir="/tmp/himan_benchloop", dataroot=root,
-        label_nc=35, ngf=64, ndf=64, n_downsample_global=4, n_blocks_global=9,
+        label_nc=35, ndf=64, n_downsample_global=4, n_blocks_global=9,
         num_D=2, n_layers_D=3, batchSize=bs, use_masked_image=True,
+        # 1024p leg: the coarse-to-fine LocalEnhancer config (BASELINE
+        # config #3) at 1024x512 — the loop-level analogue of
+        # BENCH_secondary's device-only 12.03 img/s (VERDICT r4 weak#5)
+        netG="local" if leg_1024 else "global",
+        ngf=32 if leg_1024 else 64,
+        n_local_enhancers=1, n_blocks_local=3,
         # bbox leg: the flagship box-conditioned crop config
         # (scripts/train_mask2image_city.sh semantics — 256x256 context
         # windows around real instance records)
         use_bbox_dataset=bbox_leg,
-        fineSize=256 if bbox_leg else 512,
+        fineSize=1024 if leg_1024 else (256 if bbox_leg else 512),
         min_box_size=16,
         dtype="bfloat16", resize_or_crop="none",
         no_flip=True, nThreads=nthreads, serial_batches=True,
@@ -134,7 +144,8 @@ def main():
         # has none); the constant device tensor is hoisted OUT of the
         # per-step path (a per-step jnp.tile is an eager device op — one
         # tunnel RTT per iteration on axon)
-        boxes_const = jnp.tile(jnp.asarray([[64.0, 128.0, 96.0, 160.0]]), (bs, 1))
+        box = [128.0, 256.0, 192.0, 320.0] if leg_1024 else [64.0, 128.0, 96.0, 160.0]
+        boxes_const = jnp.tile(jnp.asarray([box]), (bs, 1))
 
         def with_boxes(b):
             out = {
@@ -213,7 +224,7 @@ def main():
 
     result = {
         "metric": "loop_vs_device_images_per_sec_"
-        + ("bbox256" if bbox_leg else "512x256"),
+        + ("1024x512" if leg_1024 else ("bbox256" if bbox_leg else "512x256")),
         "device_only": round(dev_ips, 2),
         "loop_level": round(loop_ips, 2),
         "loop_over_device_pct": round(100 * loop_ips / dev_ips, 1),

@@ -81,7 +81,7 @@ def main():
             "--niter_decay", str(ep_g - max(ep_g // 2, 1)),
             "--print_freq", str(spe_g),
             "--display_freq", str(10 * spe_g),
-            "--save_latest_freq", str(spe_g),
+            "--save_latest_freq", "1000000",  # final save only (train loop always writes latest at end)
         ])
 
     # ---- stage 2: LocalEnhancer at 1024x512, trunk handed off ----
@@ -104,7 +104,7 @@ def main():
             "--niter_decay", str(ep_l - max(ep_l // 2, 1)),
             "--print_freq", str(spe_l),
             "--display_freq", str(5 * spe_l),
-            "--save_latest_freq", str(spe_l),
+            "--save_latest_freq", "1000000",  # final save only (train loop always writes latest at end)
         ])
 
     # ---- report: curves + gallery + rates for BOTH stages ----

@@ -88,7 +88,7 @@ def main():
             "--print_freq", str(steps_per_epoch),
             "--display_freq", str(20 * steps_per_epoch),
             "--save_epoch_freq", "1000000",
-            "--save_latest_freq", str(steps_per_epoch),
+            "--save_latest_freq", "1000000",  # final save only (train loop always writes latest at end)
         ])
 
     run_dir = os.path.join(args.ckpt, name)

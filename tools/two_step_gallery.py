@@ -102,7 +102,7 @@ def main():
             "--niter_decay", str(epochs - max(epochs // 2, 1)),
             "--print_freq", str(spe), "--display_freq", str(20 * spe),
             "--save_epoch_freq", "1000000",
-            "--save_latest_freq", str(spe),
+            "--save_latest_freq", "1000000",  # final save only (train loop always writes latest at end)
             "--no_vgg_loss", "--nThreads", "1",
         ]
         print(f"[gallery] training m2i: {n_obj} records, {epochs} epochs")
