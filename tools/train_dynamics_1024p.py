@@ -149,6 +149,26 @@ def main():
                 np.isfinite([r.get(k, 0.0) for k in keys]).all() for r in rows
             ),
         }
+        if name == lname and len(rows) > fix:
+            # the two optimization phases are distinct claims: while the
+            # pretrained trunk is FROZEN (--niter_fix_global) only the
+            # enhancer branch trains and the losses should fall from the
+            # hand-off point; unfreezing a 45M-param trunk mid-GAN is a
+            # known transient (fresh Adam moments + D already warm), so
+            # it is reported separately rather than averaged away.
+            froz, unfr = rows[:fix], rows[fix:]
+
+            def med(rs, k):
+                vs = [r[k] for r in rs if k in r]
+                return round(float(np.median(vs)), 3) if vs else None
+
+            summary["stages"][name]["phases"] = {
+                "frozen_trunk_epochs": fix,
+                "frozen": {k: {"first": froz[0].get(k),
+                               "min": round(min(r[k] for r in froz if k in r), 3),
+                               "median": med(froz, k)} for k in keys},
+                "unfrozen_median": {k: med(unfr, k) for k in keys},
+            }
     fig.suptitle("1024p coarse-to-fine dynamics: global -> load_pretrain "
                  f"-> local (niter_fix_global={fix} of {ep_l} epochs)")
     fig.tight_layout()
