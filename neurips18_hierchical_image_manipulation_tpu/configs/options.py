@@ -258,6 +258,25 @@ class BoxToMaskTrainOptions(TrainOptions):
     lambda_recon: float = 10.0  # per-pixel CE weight
     no_vgg_loss: bool = True  # layout stage has no VGG term
     no_instance: bool = True
+    # Background-box augmentation: every ~1/p-th training sample places
+    # the object's box on OBJECT-FREE ground instead (null class -1 ->
+    # all-zeros one-hot, empty GT object mask, full-weight context CE
+    # in-box). This is the supervision that makes remove-mode edits work:
+    # it teaches (a) null class -> the object stream emits an empty mask,
+    # and (b) the context stream inpaints the true background under a
+    # box — exactly what eval/two_step.py's remove mode reads. Without
+    # it, in-box context pixels are unsupervised (object pixels dominate
+    # tight boxes) and the context stream free-runs toward repainting
+    # the object (measured round 5: remove restore acc 0.11 -> gated
+    # value in reports/two_step_r05/summary.json). 0 disables (default:
+    # existing configs unchanged).
+    bg_box_prob: float = 0.0
+    # Negative-class context penalty: weight of -log(1 - p_own_class) on
+    # the CONTEXT stream at object pixels. The occluded background is
+    # unknown there, but it is certainly not the occluding object — this
+    # is the only supervision that stops remove-mode edits from
+    # repainting the removed object (see models/box2mask.py). 0 disables.
+    lambda_ctx_neg: float = 0.0
     objReconLoss: str = "bce"  # object-mask stream loss (bce per paper)
     num_D: int = 1
 

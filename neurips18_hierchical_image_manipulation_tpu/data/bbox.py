@@ -121,6 +121,14 @@ class BboxCropDataset:
         self.base = AlignedDataset(base_opt)
         self.size = opt.fineSize
         self.margin = getattr(opt, "contextMargin", 2.0)
+        # --bg_box_prob: every ~1/p-th sample trains as a BACKGROUND box
+        # (null class, empty GT object mask, box placed on object-free
+        # ground) — the supervision that makes remove-mode edits work
+        # (see options.py help). Deterministic in (epoch, index) so the
+        # resident snapshot / mid-epoch resume stay bit-exact.
+        p = float(getattr(opt, "bg_box_prob", 0.0) or 0.0)
+        self.bg_every = max(int(round(1.0 / p)), 1) if p > 0 else 0
+        self._epoch = 0
         if records is None:
             cache = os.path.join(
                 opt.dataroot, f"{getattr(opt, 'phase', 'train')}_bboxes.json"
@@ -141,6 +149,52 @@ class BboxCropDataset:
 
     def set_epoch(self, epoch: int) -> None:
         self.base.set_epoch(epoch)
+        self._epoch = int(epoch)
+
+    @staticmethod
+    def _background_box(bbox, inst):
+        """Deterministic object-free placement of a box the same size as
+        ``bbox``: first golden-ratio grid candidate whose region holds
+        <= 2% THING pixels. None if the scene is too crowded — the caller
+        falls back to the object sample.
+
+        Thing test: ``inst >= 24000``. Cityscapes encodes instances as
+        class*1000+k with thing classes being ids 24..33 (person..bicycle);
+        stuff pixels carry inst == class id (< 1000). The procedural world
+        additionally stamps STUFF regions as class*1000 (road=7000,
+        sky=23000, ...) so the scanner yields stuff boxes too — a plain
+        ``>= 1000`` test would mark every pixel occupied and this
+        augmentation would silently never fire (it did, round 5)."""
+        y0, x0, h, w = (int(v) for v in bbox)
+        H, W = inst.shape
+        h, w = min(h, H), min(w, W)
+        thing = (inst >= 24000).astype(np.int64)
+        ii = np.pad(np.cumsum(np.cumsum(thing, 0), 1), ((1, 0), (1, 0)))
+        u0 = ((y0 * 131 + x0 * 31) % 997) / 997.0
+        phi = 0.6180339887
+
+        def free(cy, cx):
+            s = ii[cy + h, cx + w] - ii[cy, cx + w] - ii[cy + h, cx] + ii[cy, cx]
+            return s <= 0.02 * h * w
+
+        # Prefer SAME-ROW placements (x-shift only): remove-mode queries
+        # are boxes at object height (cars sit on the road), so the
+        # augmentation must supervise "null class at an object-height box
+        # over object-free ground", not boxes drifting into the sky.
+        # Measured round 5: anywhere-placement left remove restore acc at
+        # 0.69 (ctx still paints the car); same-row supervision targets
+        # the exact query distribution.
+        cy0 = min(y0, H - h)
+        for k in range(48):
+            cx = int(((u0 + k * phi) % 1.0) * max(W - w, 1))
+            if free(cy0, cx):
+                return (cy0, cx, h, w)
+        for k in range(64):
+            cy = int(((u0 + k * phi) % 1.0) * max(H - h, 1))
+            cx = int(((u0 * 7.0 + k * phi * 3.0) % 1.0) * max(W - w, 1))
+            if free(cy, cx):
+                return (cy, cx, h, w)
+        return None
 
     def __len__(self):
         return len(self.records)
@@ -152,7 +206,16 @@ class BboxCropDataset:
         hw = label.shape
         s = self.size
 
-        wy0, wx0, wh, ww = _context_window(rec["bbox"], hw, self.margin, s)
+        bbox = rec["bbox"]
+        bg = bool(self.bg_every) and (index + self._epoch) % self.bg_every == 0
+        if bg:
+            bg_box = self._background_box(bbox, inst)
+            if bg_box is None:
+                bg = False
+            else:
+                bbox = bg_box
+
+        wy0, wx0, wh, ww = _context_window(bbox, hw, self.margin, s)
 
         def crop_resize_nearest(arr):
             from . import native
@@ -164,13 +227,21 @@ class BboxCropDataset:
         inst_win = crop_resize_nearest(inst)
 
         # object box in window coords, scaled to the fixed crop
-        by0, bx0, bh, bw = _scaled_box(rec["bbox"], wy0, wx0, wh, ww, s)
+        by0, bx0, bh, bw = _scaled_box(bbox, wy0, wx0, wh, ww, s)
         boxmask = np.zeros((s, s, 1), np.float32)
         boxmask[by0 : min(by0 + bh, s), bx0 : min(bx0 + bw, s)] = 1.0
 
-        gt_objmask = (
-            (inst_win == rec["inst_id"]).astype(np.float32)[..., None] * boxmask
-        )
+        if bg:
+            # background sample: null class (-1 -> all-zeros one-hot),
+            # nothing to segment, full-weight context supervision in-box
+            gt_objmask = np.zeros((s, s, 1), np.float32)
+            cls_id = np.int32(-1)
+        else:
+            gt_objmask = (
+                (inst_win == rec["inst_id"]).astype(np.float32)[..., None]
+                * boxmask
+            )
+            cls_id = np.int32(rec["cls"])
 
         u8 = getattr(self.opt, "uint8_transfer", False)
         if u8:
@@ -184,7 +255,7 @@ class BboxCropDataset:
             "masked_layout": gt_layout.copy(),  # one-hot zeroed in-box on device
             "boxmask": boxmask,
             "gt_objmask": gt_objmask,
-            "cls": np.int32(rec["cls"]),
+            "cls": cls_id,
             "boxes": np.asarray([by0, bx0, bh, bw], np.float32),
             "path": sample["path"],
         }

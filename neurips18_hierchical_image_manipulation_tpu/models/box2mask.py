@@ -3,9 +3,10 @@
 Two-stream encoder-decoder inpaints the semantic layout inside a user box
 [P §3.2]: object stream -> sigmoid object mask for class c, context stream
 -> softmax layout; merged = context overwritten by class c inside the mask.
-Losses: per-pixel CE reconstruction (merged vs GT layout crop) + BCE on the
-object stream inside the box + conditional adversarial from a layout
-discriminator over (layout, class, box mask).
+Losses: per-pixel CE reconstruction factored per stream (context CE
+weighted by 1 - object mask — the gradient the paper's merged-map CE
+delivers — + BCE on the object stream inside the box) + conditional
+adversarial from a layout discriminator over (layout, class, box mask).
 
 Batches are fixed-size context-window crops (jit-static) produced by
 ``data/bbox.py``:
@@ -93,12 +94,45 @@ class BoxToMaskModel:
         )
 
         gt_ids = batch["gt_layout"]
-        # reconstruction: CE on the context stream's logits over the full
-        # window (context must reproduce GT everywhere) + BCE object mask
-        loss_recon = opt.lambda_recon * layout_ce_loss(layout_logits, gt_ids)
+        # Reconstruction, factored per stream [P §3.2]: the paper's CE on
+        # the MERGED map gives the context stream gradient weighted by
+        # (1 - object mask) — i.e. NO context supervision at object
+        # pixels. Reproduce that by weighting the context CE with
+        # (1 - gt_objmask): in-box non-object pixels teach it to inpaint
+        # the surroundings, object pixels leave it free to extrapolate
+        # context — which is exactly what remove-mode inference reads
+        # (eval/two_step.py fills from ctx_probs under the null class).
+        # Supervising the context stream to the full GT instead trains it
+        # to DRAW the object, and removal degenerates to repainting it
+        # (measured: remove context-restore acc 0.09 -> see
+        # reports/two_step_r05/summary.json for the gated value).
+        ctx_w = 1.0 - batch["gt_objmask"]
+        loss_recon = opt.lambda_recon * layout_ce_loss(
+            layout_logits, gt_ids, weight_mask=ctx_w
+        )
         loss_obj = opt.lambda_recon * object_mask_loss(
             mask_logit, batch["gt_objmask"], boxmask
         )
+        # Negative-class penalty (--lambda_ctx_neg): at OBJECT pixels the
+        # context stream has no positive target (the true background is
+        # occluded) but one thing is certain — it is not the occluding
+        # object itself. Penalize the context softmax mass it puts on the
+        # sample's own class there: -log(1 - p_cls). Kills the failure
+        # mode where removal repaints the removed object (measured round
+        # 5: remove restore acc 0.69 with the penalty off — the residual
+        # error was exactly ctx painting class 26 in-box). cls = -1 (bg
+        # samples) one-hots to zeros -> p_own = 0 -> no penalty.
+        lam_neg = getattr(opt, "lambda_ctx_neg", 0.0)
+        if lam_neg:
+            ctx_p = jax.nn.softmax(layout_logits.astype(jnp.float32), axis=-1)
+            p_own = (ctx_p * cls_oh[:, None, None, :].astype(jnp.float32)).sum(
+                -1, keepdims=True
+            )
+            obj = batch["gt_objmask"].astype(jnp.float32)
+            neg = -jnp.log1p(-jnp.minimum(p_own, 1.0 - 1e-4)) * obj
+            loss_ctx_neg = lam_neg * neg.sum() / jnp.maximum(obj.sum(), 1.0)
+        else:
+            loss_ctx_neg = 0.0
 
         use_lsgan = not opt.no_lsgan
         d_sg = _sg_tree(params["D"])
@@ -118,7 +152,7 @@ class BoxToMaskModel:
         d_fake = [f[nb:] for f in d_rf]
         loss_d, loss_d_real, loss_d_fake = discriminator_loss(d_real, d_fake, use_lsgan)
 
-        total = loss_recon + loss_obj + loss_g_gan + loss_d
+        total = loss_recon + loss_obj + loss_ctx_neg + loss_g_gan + loss_d
         metrics = {
             "G_GAN": loss_g_gan,
             "G_recon": loss_recon,
@@ -126,6 +160,8 @@ class BoxToMaskModel:
             "D_real": loss_d_real,
             "D_fake": loss_d_fake,
         }
+        if lam_neg:
+            metrics["G_ctxneg"] = loss_ctx_neg
         return total, (metrics, merged)
 
     def inference(self, params, batch, return_ctx=False):

@@ -706,9 +706,11 @@ class Vgg19Features(nn.Module):
 
 class TwoStreamStructureGenerator(nn.Module):
     """Structure generator: shared conv encoder over (masked one-hot layout
-    ⊕ box-mask channel), class conditioning (tiled one-hot class vector
-    concatenated at the bottleneck), resnet bottleneck, and TWO
-    skip-connected decoder streams:
+    ⊕ box-mask channel), class conditioning at the bottleneck (a
+    box-masked class map into the 1x1 fuse + a post-norm class embedding
+    — both chosen to SURVIVE InstanceNorm, which exactly cancels
+    spatially-constant pre-norm signals; see the inline comment), resnet
+    bottleneck, and TWO skip-connected decoder streams:
 
       * object stream  -> 1-channel object-mask logit (sigmoid)
       * context stream -> label_nc-channel layout logits (softmax)
@@ -739,15 +741,45 @@ class TwoStreamStructureGenerator(nn.Module):
             h = Conv(self.ngf * 2 ** (i + 1), 3, stride=2, padding=1, name=f"enc_down{i}", dead_bias=db)(h)
             h = NormAct(self.norm, "relu", name=f"enc_norm_down{i}")(h)
 
-        # class conditioning at the bottleneck: tile one-hot class over space
-        b, hh, ww, _ = h.shape
-        cls = jnp.broadcast_to(
-            class_onehot[:, None, None, :], (b, hh, ww, class_onehot.shape[-1])
+        # Class conditioning at the bottleneck — TWO mechanisms, both of
+        # which survive InstanceNorm (the naive tile-everywhere concat ->
+        # 1x1 conv -> IN fuse is spatially CONSTANT per channel and IN
+        # subtracts the per-(N,C) spatial mean, so it is EXACTLY cancelled:
+        # measured round 5, outputs were bit-identical for cls =
+        # null/road/car and remove-edit restore acc sat at 0.11):
+        #
+        #  1. a BOX-MASKED class map concatenated into the 1x1 fuse —
+        #     one-hot(cls) tiled only where the (pooled) box mask is
+        #     nonzero. Spatially VARYING (in-box vs out), so no IN can
+        #     cancel it, and it is localized exactly where the streams
+        #     must act on the class. This is the strong signal the object
+        #     stream needs to flip between "draw the class-c object"
+        #     (add) and "draw nothing" (null -> all-zeros map; measured:
+        #     the shift-only variant left add in-box acc at 0.30 because
+        #     the class response was ~0.02 in logit scale).
+        #  2. a per-channel class embedding added BETWEEN the norm and
+        #     the ReLU (post-norm, pre-nonlinearity): the ReLU clips
+        #     per-pixel, turning the constant shift into spatially-varying
+        #     modulation downstream — a weaker global bias both streams
+        #     can use.
+        #
+        # cls = -1 (the null class) one-hots to all-zeros -> zero map and
+        # zero shift by construction.
+        ch = self.ngf * 2**self.n_downsampling
+        b_, hh, ww, _ = h.shape
+        fy, fx = boxmask.shape[1] // hh, boxmask.shape[2] // ww
+        bm = boxmask.reshape(b_, hh, fy, ww, fx, 1).max(axis=(2, 4))
+        cmap = class_onehot[:, None, None, :] * bm
+        h = Conv(ch, 1, name="cls_fuse", dead_bias=db)(
+            jnp.concatenate([h, cmap], axis=-1)
         )
-        h = Conv(self.ngf * 2**self.n_downsampling, 1, name="cls_fuse", dead_bias=db)(
-            jnp.concatenate([h, cls], axis=-1)
-        )
-        h = NormAct(self.norm, "relu", name="cls_norm")(h)
+        h = NormAct(self.norm, "none", name="cls_norm")(h)
+        # bias-free so the null class (one-hot all-zeros) embeds to an
+        # exactly-zero shift no matter what training does
+        cls_shift = nn.Dense(
+            ch, kernel_init=conv_init, use_bias=False, name="cls_embed"
+        )(class_onehot)
+        h = nnops.relu(h + cls_shift[:, None, None, :])
         for i in range(self.n_blocks):
             h = ResnetBlock(self.ngf * 2**self.n_downsampling, self.norm, name=f"res{i}")(h)
 

@@ -483,3 +483,53 @@ def test_device_resident_rejects_load_features(dataroot, tmp_path):
     )
     with pytest.raises(ValueError, match="load_features"):
         CreateDataLoader(opt)
+
+
+def test_bg_box_augmentation(dataroot, tmp_path):
+    """--bg_box_prob: every ~1/p-th sample becomes a null-class background
+    box — empty gt_objmask, cls == -1, box placed on object-free ground
+    (same row as the source object when the row has space), deterministic
+    in (epoch, index)."""
+    opt = BoxToMaskTrainOptions(
+        name="d", checkpoints_dir=os.path.join(str(tmp_path), "ckpt"),
+        dataroot=dataroot, fineSize=32, resize_or_crop="none", no_flip=True,
+        batchSize=1, serial_batches=True, min_box_size=4, no_instance=True,
+        bg_box_prob=0.5,
+    )
+    ds = BboxCropDataset(opt)
+    assert ds.bg_every == 2
+    bg = [i for i in range(len(ds)) if int(ds[i]["cls"]) == -1]
+    assert bg, "bg augmentation never fired"
+    s = ds[bg[0]]
+    assert float(s["gt_objmask"].sum()) == 0.0
+    # in-box GT is pure background (the window was placed object-free):
+    inbox = s["boxmask"][..., 0] > 0
+    assert inbox.sum() > 0
+    assert not np.any(s["gt_layout"][inbox] == 26)
+    # deterministic: same (epoch, index) -> identical sample
+    s2 = ds[bg[0]]
+    np.testing.assert_array_equal(s["gt_layout"], s2["gt_layout"])
+    np.testing.assert_array_equal(s["boxes"], s2["boxes"])
+    # epoch shift moves which indices are bg (coverage rotates)
+    ds.set_epoch(1)
+    assert int(ds[bg[0] + 1]["cls"]) == -1 if (bg[0] + 1 + 1) % 2 == 0 else True
+
+
+def test_background_box_thing_test():
+    """The object-free test must treat Cityscapes STUFF ids (< 24000 —
+    incl. the procedural world's class*1000 stamps like road=7000) as
+    free ground and thing ids (>= 24000) as occupied."""
+    inst = np.full((64, 64), 7000, np.int32)  # road everywhere
+    inst[10:30, 10:30] = 26001  # one car
+    bb = BboxCropDataset._background_box((10, 10, 20, 20), inst)
+    assert bb is not None
+    y0, x0, h, w = bb
+    assert (h, w) == (20, 20)
+    # same-row preference: the car sits at rows 10..30 with free road to
+    # the right — placement keeps the source row
+    assert y0 == 10
+    region = inst[y0:y0 + h, x0:x0 + w]
+    assert (region >= 24000).mean() <= 0.02
+    # a scene with no free ground -> None
+    crowded = np.full((32, 32), 26000, np.int32)
+    assert BboxCropDataset._background_box((0, 0, 16, 16), crowded) is None

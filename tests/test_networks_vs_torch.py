@@ -278,3 +278,43 @@ def test_encoder_parity(rng):
     np.testing.assert_allclose(
         np.asarray(got).transpose(0, 3, 1, 2), ref, atol=ATOL, rtol=1e-4
     )
+
+
+def test_structure_generator_class_sensitivity(rng):
+    """Round-5 regression: the class conditioning must SURVIVE the
+    InstanceNorms. The original concat->1x1conv->IN fuse was provably
+    class-blind (a tiled one-hot is spatially constant, and IN subtracts
+    the per-(N,C) spatial mean — outputs were bit-identical for every
+    class). The fix injects a class embedding post-norm, pre-ReLU.
+    Checks: different classes produce different streams; the null class
+    (all-zeros one-hot, id -1) produces a zero shift by construction."""
+    label_nc = 8
+    g = networks.TwoStreamStructureGenerator(
+        label_nc=label_nc, ngf=8, n_downsampling=2, n_blocks=1
+    )
+    masked = jnp.asarray(rng.rand(1, 32, 32, label_nc).astype(np.float32))
+    boxmask = jnp.zeros((1, 32, 32, 1)).at[:, 8:24, 8:24].set(1.0)
+
+    def run(cls_id):
+        cls = jax.nn.one_hot(jnp.asarray([cls_id]), label_nc)  # -1 -> zeros
+        return g.apply(params, masked, boxmask, cls)
+
+    params = g.init(
+        jax.random.PRNGKey(0), masked, boxmask,
+        jax.nn.one_hot(jnp.asarray([3]), label_nc),
+    )
+    l3, m3, _ = run(3)
+    l5, m5, _ = run(5)
+    ln, mn, _ = run(-1)
+    # class changes BOTH streams (this was bit-identical pre-fix)
+    assert float(jnp.abs(l3 - l5).max()) > 1e-6
+    assert float(jnp.abs(m3 - m5).max()) > 1e-6
+    assert float(jnp.abs(l3 - ln).max()) > 1e-6
+    # the null-class embedding is exactly the Dense bias-free zero shift:
+    # one-hot(-1) is all-zeros, so cls_embed contributes nothing
+    emb = params["params"]["cls_embed"]["kernel"]
+    shift = jnp.zeros((emb.shape[1],))
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.one_hot(jnp.asarray([-1]), label_nc) @ emb),
+        np.asarray(shift[None]), atol=0,
+    )

@@ -313,3 +313,46 @@ def test_hybrid_dcn_mesh_dp_matches_single_device(rng):
         np.testing.assert_allclose(float(m1[k]), float(m2[k]), rtol=2e-3, atol=2e-4)
     for a, b in zip(jax.tree.leaves(s1.params["G"]), jax.tree.leaves(s2.params["G"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4)
+
+
+def test_box2mask_ctx_neg_penalty(rng):
+    """--lambda_ctx_neg: the context stream is penalized for putting
+    softmax mass on the sample's OWN class at object pixels; cls == -1
+    (background samples) contributes exactly zero; training with the
+    penalty drives that mass down."""
+    kw = dict(
+        name="t", checkpoints_dir="/tmp/himan_test_ckpt", label_nc=8,
+        ngf=8, ndf=8, n_downsample_global=2, n_blocks_global=1,
+        n_layers_D=2, fineSize=32,
+    )
+    batch = synthetic_box2mask_batch(rng, 2, size=32, label_nc=8)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    m_off = create_model(BoxToMaskTrainOptions(**kw))
+    m_on = create_model(BoxToMaskTrainOptions(lambda_ctx_neg=5.0, **kw))
+    params = m_off.init_params(jax.random.PRNGKey(0), batch)
+
+    t_off, (met_off, _) = m_off.losses(params, batch)
+    t_on, (met_on, _) = m_on.losses(params, batch)
+    assert "G_ctxneg" not in met_off
+    neg = float(met_on["G_ctxneg"])
+    assert neg > 0
+    np.testing.assert_allclose(float(t_on) - float(t_off), neg, rtol=1e-4)
+
+    # null-class batch -> zero penalty (one-hot of -1 is all-zeros)
+    nb = dict(batch)
+    nb["cls"] = jnp.full_like(batch["cls"], -1)
+    nb["gt_objmask"] = jnp.zeros_like(batch["gt_objmask"])
+    _, (met_null, _) = m_on.losses(params, nb)
+    assert float(met_null["G_ctxneg"]) == 0.0
+
+    # a few steps with the penalty reduce own-class ctx mass at object px
+    tx = optax.adam(2e-3, b1=0.5)
+    state = GANTrainState.create(params, tx, tx, jax.random.PRNGKey(1))
+    step = train_steps.make_train_step(m_on, donate=False)
+    first = None
+    for _ in range(8):
+        state, metrics, _ = step(state, batch)
+        if first is None:
+            first = float(metrics["G_ctxneg"])
+    assert float(metrics["G_ctxneg"]) < first

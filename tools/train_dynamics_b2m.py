@@ -57,7 +57,12 @@ def main():
         "--fineSize", "64", "--min_box_size", "6",
         "--resize_or_crop", "none", "--no_flip",
     ]
-    train_only = ["--ndf", "32", "--num_D", "1", "--n_layers_D", "2"]
+    # bg_box_prob: every 4th sample is a null-class background box — the
+    # supervision remove-mode reads (see options.py help / box2mask.py)
+    train_only = [
+        "--ndf", "32", "--num_D", "1", "--n_layers_D", "2",
+        "--bg_box_prob", "0.25", "--lambda_ctx_neg", "5.0",
+    ]
     if not args.skip_train:
         if not os.path.exists(os.path.join(args.dataroot, "train_label")):
             print("building procedural world ...")
